@@ -1,0 +1,112 @@
+"""Image payload codecs for the image+caption table (BASELINE.json input_hint).
+
+No image library ships in this container (no PIL/cv2), so:
+
+- ``fmt="png"``  — a REAL minimal PNG codec (8-bit RGB, filter 0,
+  zlib/DEFLATE) implemented here with numpy + zlib.  Lossless:
+  decode(encode(x)) == x exactly, so the per-row invariant
+  (decoded-pixel allclose) is checked for real.
+- ``fmt="jpeg"`` — a clearly-marked DETERMINISTIC FAKE for the lossy
+  path: pixels are quantized (step 4) then stored in the same PNG
+  container with a different magic chunk order tag.  Quantization step 4
+  gives MSE <= 1.25 => PSNR ~47 dB > the 40 dB invariant floor.  Swap in
+  a real JPEG codec (PIL/libjpeg) outside this sandbox; the Ray-side
+  plumbing (schema, batch shapes, actor signatures) is identical.
+
+All functions operate on uint8 RGB arrays of shape (h, w, 3).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_QUANT_STEP = 4
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(rgb: np.ndarray, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a PNG byte string."""
+    assert rgb.dtype == np.uint8 and rgb.ndim == 3 and rgb.shape[2] == 3
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    # filter byte 0 per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by :func:`png_encode` (8-bit RGB, filter 0)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or color != 2:
+                raise NotImplementedError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    if (raw[:, 0] != 0).any():
+        raise NotImplementedError("only filter 0 supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def jpeg_encode(rgb: np.ndarray) -> bytes:
+    """DETERMINISTIC FAKE lossy codec (see module docstring)."""
+    q = (rgb.astype(np.int32) // JPEG_QUANT_STEP * JPEG_QUANT_STEP + JPEG_QUANT_STEP // 2).clip(
+        0, 255
+    ).astype(np.uint8)
+    return b"FAKEJPG0" + png_encode(q)
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    if data[:8] != b"FAKEJPG0":
+        raise ValueError("not a fake jpeg")
+    return png_decode(data[8:])
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        return jpeg_decode(data)
+    raise NotImplementedError(f"unknown fmt {fmt!r}")
+
+
+def encode(rgb: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(rgb)
+    if fmt == "jpeg":
+        return jpeg_encode(rgb)
+    raise NotImplementedError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from go_osm_search_ray import codecs, synth
+
+
+class TestPNG:
+    def test_roundtrip_exact(self):
+        rng = np.random.default_rng(1)
+        for shape in [(8, 8, 3), (16, 9, 3), (1, 1, 3), (64, 64, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            out = codecs.png_decode(codecs.png_encode(img))
+            np.testing.assert_array_equal(img, out)
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            codecs.png_decode(b"not a png at all")
+
+    def test_psnr_lossless_inf(self):
+        img = np.zeros((8, 8, 3), np.uint8)
+        assert codecs.psnr(img, img) == float("inf")
+
+
+class TestFakeJPEG:
+    def test_lossy_but_above_invariant(self):
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        out = codecs.jpeg_decode(codecs.jpeg_encode(img))
+        p = codecs.psnr(img, out)
+        assert p >= 40.0  # the per-row invariant floor (BASELINE.json)
+        assert p != float("inf")  # genuinely lossy
+
+
+class TestImagesBatch:
+    def test_deterministic_and_decodable(self):
+        idx = np.arange(100, dtype=np.uint64)
+        t1 = synth.images_batch(idx, seed=42)
+        t2 = synth.images_batch(idx, seed=42)
+        assert t1.equals(t2)
+        assert t1.num_rows == 100
+        # every payload decodes and matches its fmt/w/h
+        for i in range(0, 100, 17):
+            row = {c: t1[c][i].as_py() for c in t1.column_names}
+            img = codecs.decode(row["bytes"], row["fmt"])
+            assert img.shape == (row["h"], row["w"], 3)
+
+    def test_order_independence(self):
+        a = synth.images_batch(np.array([5, 6, 7], dtype=np.uint64))
+        b = synth.images_batch(np.array([7, 5, 6], dtype=np.uint64))
+        assert a.slice(0, 1)["phash"][0].as_py() == b.slice(1, 1)["phash"][0].as_py()
+
+    def test_phash_latlon_consistent(self):
+        from go_osm_search_ray import geo
+
+        t = synth.images_batch(np.arange(1000, dtype=np.uint64))
+        lat, lon = geo.phash_to_latlon(t["phash"].to_numpy())
+        assert (np.abs(lat) <= 90).all() and (np.abs(lon) <= 180).all()
+
+    def test_hot_cells_exist(self):
+        from go_osm_search_ray import geo
+
+        t = synth.images_batch(np.arange(20000, dtype=np.uint64))
+        lat, lon = geo.phash_to_latlon(t["phash"].to_numpy())
+        tiles = geo.tile_id(lat, lon, 7)
+        _, counts = np.unique(tiles, return_counts=True)
+        # skewed: the hottest cell should hold far more than the mean
+        assert counts.max() > 20 * counts.mean()
+
+
+class TestSideTables:
+    def test_polygons_closed_rings(self):
+        t = synth.polygons_table(40)
+        assert t.num_rows == 40
+        for i in range(t.num_rows):
+            ring = t["ring"][i].as_py()
+            assert ring[0] == ring[-1]
+            assert len(ring) >= 4
+
+    def test_streets(self):
+        t = synth.streets_table(20)
+        assert t.num_rows == 20
+        assert len(t["geom"][0].as_py()) >= 2
+
+    def test_fence_events_cover_fences(self):
+        f = synth.fences_table(5)
+        ev = synth.fence_events_table(f, n_points=5, steps=10)
+        assert ev.num_rows == 50
+        # seq strictly increasing
+        s = ev["seq"].to_numpy()
+        assert (np.diff(s) > 0).all()
