@@ -1,0 +1,72 @@
+"""Per-partition checkpoint manifest: lineage + throughput metrics.
+
+The reference writes artifacts once at the end with no resume
+(indexer.go:495).  The north rule requires resumable execution, so this
+engine writes hive-partitioned Parquet (one directory per partition
+key) plus a ``_manifest.json`` recording, per partition:
+
+    partition_id, row_count, bytes, wall_ms (of the writing run),
+    input_files (lineage)
+
+Resume = anti-join the input partition keys against the manifest's
+completed set (``remaining_partitions``) and only process the rest.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str,
+                      input_files: list[str] | None = None) -> dict:
+    """write_parquet(partition_cols=[col]) + manifest.  Returns manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    wall_ms = (time.perf_counter() - t0) * 1000.0
+
+    parts = {}
+    import pyarrow.parquet as pq
+
+    for d in sorted(glob.glob(os.path.join(out_dir, f"{partition_col}=*"))):
+        pid = d.split("=", 1)[1]
+        rows = nbytes = 0
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            rows += pq.read_metadata(f).num_rows
+            nbytes += os.path.getsize(f)
+        parts[pid] = {"row_count": rows, "bytes": nbytes}
+
+    manifest = {
+        "partition_col": partition_col,
+        "wall_ms": wall_ms,
+        "input_files": input_files or [],
+        "completed_at": time.time(),
+        "partitions": parts,
+    }
+    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    return manifest
+
+
+def load_manifest(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, "_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    m = load_manifest(out_dir)
+    return set(m["partitions"]) if m else set()
+
+
+def remaining_partitions(all_keys, out_dir: str) -> list:
+    """Anti-join: partition keys not yet recorded as completed."""
+    done = completed_partitions(out_dir)
+    return [k for k in all_keys if str(k) not in done]

@@ -1,0 +1,135 @@
+"""Tile assignment + PIP join: distributed pipeline vs brute-force numpy
+oracle (the reference-oracle strategy of SURVEY.md §5)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from go_osm_search_ray import geo, synth
+from go_osm_search_ray.stages import pip, tiling
+
+
+def brute_first_hit(lat, lon, polygons):
+    """Oracle: winding PIP vs every polygon, keep min polygon_id."""
+    best = np.full(len(lat), -1, dtype=np.int64)
+    pids = polygons["polygon_id"].to_numpy()
+    order = np.argsort(pids)
+    for i in order[::-1]:  # visit descending so min wins by overwrite
+        ring = polygons["ring"][i].as_py()
+        rl = np.array([p["lat"] for p in ring])
+        ro = np.array([p["lon"] for p in ring])
+        inside = geo.point_in_polygon(lat, lon, rl, ro)
+        best[inside] = pids[i]
+    return best
+
+
+class TestCompiledPolygons:
+    def setup_method(self):
+        self.polygons = synth.polygons_table(48, seed=7)
+        rng = np.random.default_rng(11)
+        self.lat = rng.uniform(-89, 89, 2000)
+        self.lon = rng.uniform(-179, 179, 2000)
+
+    def test_first_hit_matches_brute(self):
+        compiled = pip.CompiledPolygons(self.polygons)
+        got = compiled.first_hit(self.lat, self.lon)
+        want = brute_first_hit(self.lat, self.lon, self.polygons)
+        np.testing.assert_array_equal(got, want)
+
+    def test_tile_index_pruning_same_result(self):
+        compiled = pip.CompiledPolygons(self.polygons, tile_res=6)
+        tiles = geo.tile_id(self.lat, self.lon, 6)
+        got = compiled.first_hit(self.lat, self.lon, tiles)
+        want = brute_first_hit(self.lat, self.lon, self.polygons)
+        np.testing.assert_array_equal(got, want)
+
+    def test_world_rect_coverage(self):
+        # first 25 polygons tile the world -> no point unmatched
+        compiled = pip.CompiledPolygons(self.polygons)
+        got = compiled.first_hit(self.lat, self.lon)
+        assert (got >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPipelines:
+    def test_pip_join_dataset(self, tmp_path):
+        import ray.data as rd
+
+        polygons = synth.polygons_table(30, seed=3)
+        images = synth.images_batch(np.arange(3000, dtype=np.uint64))
+        ds = rd.from_arrow(images).map_batches(
+            tiling.derive_phash_latlon, batch_format="pyarrow"
+        ).map_batches(tiling.assign_tiles(7), batch_format="pyarrow")
+        out = pip.pip_join(ds, polygons, tile_res=7, concurrency=2).take_all()
+
+        lat, lon = geo.phash_to_latlon(images["phash"].to_numpy())
+        want = brute_first_hit(lat, lon, polygons)
+        got = {r["image_id"]: r["polygon_id"] for r in out}
+        ids = images["image_id"].to_pylist()
+        assert [got[i] for i in ids] == want.tolist()
+        # region meta attached and consistent
+        prov = {r["image_id"]: r["province"] for r in out}
+        for i, w in zip(ids, want):
+            if w >= 0:
+                assert prov[i] == f"Province{w % 7}"
+            else:
+                assert prov[i] is None
+        # payload rides through untouched (invariant)
+        cap = {r["image_id"]: r["caption"] for r in out}
+        for i, c in zip(ids, images["caption"].to_pylist()):
+            assert cap[i] == c
+
+    def test_salted_tile_counts(self):
+        import ray.data as rd
+
+        images = synth.images_batch(np.arange(5000, dtype=np.uint64))
+        ds = rd.from_arrow(images).map_batches(
+            tiling.derive_phash_latlon, batch_format="pyarrow"
+        ).map_batches(tiling.assign_tiles(7), batch_format="pyarrow")
+        got = tiling.salted_tile_counts(ds).to_pandas().set_index("tile_id")["n"]
+
+        lat, lon = geo.phash_to_latlon(images["phash"].to_numpy())
+        tiles, counts = np.unique(geo.tile_id(lat, lon, 7), return_counts=True)
+        assert len(got) == len(tiles)
+        for t, c in zip(tiles, counts):
+            assert got[t] == c
+
+    def test_flagship_manifest_and_resume(self, tmp_path):
+        from go_osm_search_ray.pipelines import flagship
+        from go_osm_search_ray.state import manifest
+
+        out = str(tmp_path / "flag")
+        m = flagship.run_flagship_synth(2000, out, seed=42, concurrency=2)
+        assert sum(p["row_count"] for p in m["partitions"].values()) == 2000
+        assert all(p["bytes"] > 0 for p in m["partitions"].values())
+        assert m["wall_ms"] > 0
+        assert m["input_files"]
+        # resume: every written partition is recorded complete
+        m2 = manifest.load_manifest(out)
+        keys = list(m2["partitions"])
+        assert manifest.remaining_partitions(keys, out) == []
+        assert manifest.remaining_partitions(keys + ["999"], out) == ["999"]
+
+    def test_flagship_output_readable_and_invariant(self, tmp_path):
+        import ray.data as rd
+        from go_osm_search_ray import codecs
+        from go_osm_search_ray.pipelines import flagship
+
+        out = str(tmp_path / "flag2")
+        flagship.run_flagship_synth(500, out, seed=42, concurrency=2)
+        back = rd.read_parquet(out).take_all()
+        assert len(back) == 500
+        src = synth.images_batch(np.arange(500, dtype=np.uint64))
+        src_by_id = {
+            i: (b, f, c)
+            for i, b, f, c in zip(
+                src["image_id"].to_pylist(), src["bytes"].to_pylist(),
+                src["fmt"].to_pylist(), src["caption"].to_pylist(),
+            )
+        }
+        for r in back[:50]:
+            b, f, c = src_by_id[r["image_id"]]
+            assert r["caption"] == c  # caption equality invariant
+            img_src = codecs.decode(b, f)
+            img_out = codecs.decode(r["bytes"], r["fmt"])
+            assert codecs.psnr(img_src, img_out) == float("inf")  # byte-identical
