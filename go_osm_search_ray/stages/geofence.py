@@ -1,0 +1,167 @@
+"""Geofence transition evaluation (reference J9/A9/ST8,
+geofence.go:63-116 + fence_index.go:50-73).
+
+The reference processes one event at a time: read last position from
+bbolt, write the new one, emit transition statuses against the 3
+nearest fence circles.  Ray-Data-native equivalent:
+
+1. previous position = a per-point lag: ``groupby(point_id)`` +
+   ``map_groups`` sorting by ``seq`` and shifting (ordering assumption:
+   per-point sequential updates, SURVEY.md §2.10).  Missing previous
+   -> the reference's (-999, -999) sentinel (fence_index.go:61-64) —
+   note the sentinel deliberately FLOWS INTO the CROSS line test,
+   exactly as in the reference.
+2. fences are a broadcast side table; each event batch evaluates
+   containment + transitions vectorized against its ``nearest_n``
+   fences (or all fences when ``nearest_n is None``).
+
+Transition matrix (geofence.go:97-116):
+    INSIDE  -> INSIDE : [INSIDE]
+    INSIDE  -> OUTSIDE: [EXIT, OUTSIDE]
+    OUTSIDE -> INSIDE : [ENTER, INSIDE]
+    OUTSIDE -> OUTSIDE: [CROSS] if old->new segment cuts the circle
+                        else [OUTSIDE]
+
+State checkpointing: ``last_positions`` materializes the end-of-epoch
+state dataset (the bbolt store analogue, kvdb/kv_db.go:109-137) for the
+next epoch's sentinel join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import geo
+
+SENTINEL = -999.0
+
+
+def with_prev_position(events_ds, state: pa.Table | None = None):
+    """Add (old_lat, old_lon) per event via per-point ordered lag.
+
+    ``state`` is an optional previous-epoch checkpoint
+    (point_id, lat, lon): a point's first event in this epoch uses its
+    checkpointed position instead of the sentinel.
+    """
+    state_df = state.to_pandas().set_index("point_id") if state is not None else None
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="mergesort")
+        g["old_lat"] = g["lat"].shift(1)
+        g["old_lon"] = g["lon"].shift(1)
+        first = g.index[0]
+        if state_df is not None and g["point_id"].iloc[0] in state_df.index:
+            row = state_df.loc[g["point_id"].iloc[0]]
+            g.loc[first, "old_lat"] = row["lat"]
+            g.loc[first, "old_lon"] = row["lon"]
+        else:
+            g.loc[first, "old_lat"] = SENTINEL
+            g.loc[first, "old_lon"] = SENTINEL
+        return g
+
+    return events_ds.groupby("point_id").map_groups(lag, batch_format="pandas")
+
+
+class FenceEvaluator:
+    """Actor-pool stage: transitions of each (event, fence) pair."""
+
+    def __init__(self, fences_ref, nearest_n: int | None = 3):
+        import ray
+
+        f = ray.get(fences_ref)
+        if isinstance(f, pa.Table):
+            f = f.to_pandas()
+        self.keys = f["key"].to_numpy()
+        self.f_lat = f["lat"].to_numpy(dtype=np.float64)
+        self.f_lon = f["lon"].to_numpy(dtype=np.float64)
+        self.f_r = f["radius_km"].to_numpy(dtype=np.float64)
+        self.nearest_n = nearest_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        olat = batch["old_lat"].to_numpy()
+        olon = batch["old_lon"].to_numpy()
+        pid = batch["point_id"].to_pylist()
+        seq = batch["seq"].to_numpy()
+
+        nf = len(self.keys)
+        B = len(lat)
+        # E x F matrices
+        d_new = geo.haversine_km(lat[:, None], lon[:, None],
+                                 self.f_lat[None, :], self.f_lon[None, :])
+        new_in = d_new <= self.f_r[None, :]
+        has_old = olat != SENTINEL
+        d_old = geo.haversine_km(olat[:, None], olon[:, None],
+                                 self.f_lat[None, :], self.f_lon[None, :])
+        old_in = (d_old <= self.f_r[None, :]) & has_old[:, None]
+
+        if self.nearest_n is not None and self.nearest_n < nf:
+            # per event: the nearest_n fences by center distance
+            # (tie-break: lower fence index), like the reference's 3-NN
+            # fence probe (geofence.go:65)
+            kth = np.argpartition(d_new, self.nearest_n - 1, axis=1)[:, : self.nearest_n]
+            sel = np.zeros_like(new_in)
+            sel[np.arange(B)[:, None], kth] = True
+        else:
+            sel = np.ones_like(new_in)
+
+        cross = geo.line_circle_intersect(
+            self.f_lat[None, :], self.f_lon[None, :], self.f_r[None, :],
+            olat[:, None], olon[:, None], lat[:, None], lon[:, None],
+        )
+
+        out = {"point_id": [], "seq": [], "fence_key": [], "status": []}
+
+        def emit(mask, status):
+            e, f = np.nonzero(mask & sel)
+            out["point_id"].extend(pid[i] for i in e)
+            out["seq"].extend(seq[e].tolist())
+            out["fence_key"].extend(self.keys[f].tolist())
+            out["status"].extend([status] * len(e))
+
+        emit(old_in & new_in, "INSIDE")
+        emit(old_in & ~new_in, "EXIT")
+        emit(old_in & ~new_in, "OUTSIDE")
+        emit(~old_in & new_in, "ENTER")
+        emit(~old_in & new_in, "INSIDE")
+        emit(~old_in & ~new_in & cross, "CROSS")
+        emit(~old_in & ~new_in & ~cross, "OUTSIDE")
+
+        return pa.table(
+            {
+                "point_id": pa.array(out["point_id"], pa.string()),
+                "seq": pa.array(out["seq"], pa.int64()),
+                "fence_key": pa.array(out["fence_key"], pa.string()),
+                "status": pa.array(out["status"], pa.string()),
+            }
+        )
+
+
+def fence_transitions(events_ds, fences: pa.Table, nearest_n: int | None = 3,
+                      state: pa.Table | None = None, concurrency=2,
+                      batch_size: int = 4096):
+    """events -> (point_id, seq, fence_key, status) transition rows."""
+    import ray
+
+    ref = ray.put(fences)
+    lagged = with_prev_position(events_ds, state=state)
+    return lagged.map_batches(
+        FenceEvaluator,
+        fn_constructor_kwargs={"fences_ref": ref, "nearest_n": nearest_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def last_positions(events_ds):
+    """End-of-epoch state checkpoint: latest (lat, lon) per point_id."""
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="mergesort")
+        return g.tail(1)[["point_id", "lat", "lon"]]
+
+    return events_ds.groupby("point_id").map_groups(last, batch_format="pandas")

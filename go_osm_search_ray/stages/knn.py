@@ -1,0 +1,229 @@
+"""kNN joins + reverse geocoding (reference J7/J8/K3/K4,
+rtree.go:635-738 and searcher.go:402-459).
+
+Execution model: the query side is small (it always is — queries are
+requests, points are the corpus), so it is broadcast (`ray.put`) and
+every point batch computes a PARTIAL top-(k+offset) per query — an
+exact, shuffle-light plan: the groupby that merges partials moves only
+O(n_blocks * Q * k) rows, never the corpus.  This replaces the
+reference's incremental best-first R-tree traversal (Hjaltason-Samet,
+rtree.go:685-723) with a combiner-style distributed argmin; both are
+exact, ours parallelizes.
+
+Memory note: each batch materializes a Q x B float64 distance matrix;
+keep Q * batch_size ~ 1e7 (chunk queries above that).
+
+Tag filter semantics mirror `NearestNeighboursRadiusFilterOSM`
+(rtree.go:656-682): filter tag + dist <= radius while collecting,
+offset/k slice at the end.  Tie-break: (dist, point_id) ascending.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import geo
+
+
+class KNNPartial:
+    """Actor-pool stage: per-batch partial top-k of corpus points
+    against every broadcast query."""
+
+    def __init__(self, queries_ref, point_id_col: str = "point_id",
+                 tag_col: str | None = None):
+        import ray
+
+        q = ray.get(queries_ref)
+        if isinstance(q, pa.Table):
+            q = q.to_pandas()
+        self.q_id = q["query_id"].to_numpy()
+        self.q_lat = q["lat"].to_numpy(dtype=np.float64)
+        self.q_lon = q["lon"].to_numpy(dtype=np.float64)
+        self.q_keep = (
+            q["k"].to_numpy(dtype=np.int64)
+            + (q["offset"].to_numpy(dtype=np.int64) if "offset" in q else 0)
+        )
+        self.q_radius = (
+            q["radius_km"].to_numpy(dtype=np.float64)
+            if "radius_km" in q
+            else np.full(len(q), np.nan)
+        )
+        self.q_feature = q["feature"].tolist() if "feature" in q else [None] * len(q)
+        self.point_id_col = point_id_col
+        self.tag_col = tag_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p_lat = batch["lat"].to_numpy()
+        p_lon = batch["lon"].to_numpy()
+        p_id = batch[self.point_id_col].to_numpy()
+        tags = (
+            np.asarray(batch[self.tag_col].to_pylist())
+            if self.tag_col and self.tag_col in batch.column_names
+            else None
+        )
+        out_q, out_p, out_d = [], [], []
+        # Q x B distance matrix (queries chunked implicitly by loop rows)
+        d = geo.haversine_km(
+            self.q_lat[:, None], self.q_lon[:, None], p_lat[None, :], p_lon[None, :]
+        )
+        for qi in range(len(self.q_id)):
+            dist = d[qi]
+            mask = np.ones(len(dist), dtype=bool)
+            if not np.isnan(self.q_radius[qi]):
+                mask &= dist <= self.q_radius[qi]
+            if self.q_feature[qi] is not None and tags is not None:
+                mask &= tags == self.q_feature[qi]
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            keep = min(int(self.q_keep[qi]), len(idx))
+            sub = dist[idx]
+            top = idx[np.argpartition(sub, keep - 1)[:keep]]
+            out_q.append(np.full(len(top), self.q_id[qi]))
+            out_p.append(p_id[top])
+            out_d.append(dist[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.point_id_col: pa.array([], pa.from_numpy_dtype(p_id.dtype))
+                    if p_id.dtype != object
+                    else pa.array([], pa.string()),
+                    "dist_km": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.point_id_col: pa.array(np.concatenate(out_p)),
+                "dist_km": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+
+def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
+             tag_col: str | None = None, concurrency=4, batch_size: int = 8192):
+    """points x queries -> (query_id, rank, point_id, dist_km), exact kNN.
+
+    `queries` columns: query_id, lat, lon, k [, offset, radius_km, feature].
+    rank is 1-based AFTER the offset slice.
+    """
+    import ray
+
+    ref = ray.put(queries)
+    partials = points_ds.map_batches(
+        KNNPartial,
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "point_id_col": point_id_col,
+            "tag_col": tag_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    qdf = queries.to_pandas().set_index("query_id")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].iloc[0]
+        k = int(qdf.loc[qid, "k"])
+        offset = int(qdf.loc[qid, "offset"]) if "offset" in qdf.columns else 0
+        g = g.sort_values(["dist_km", point_id_col], kind="mergesort")
+        g = g.iloc[offset : offset + k].copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# reverse geocoding: nearest polyline via point->segment projection
+
+
+class CompiledSegments:
+    """Street polylines exploded into a flat segment array once per actor."""
+
+    def __init__(self, streets: pa.Table):
+        a_lat, a_lon, b_lat, b_lon, sid, names = [], [], [], [], [], []
+        street_names = (
+            streets["name"].to_pylist()
+            if "name" in streets.column_names
+            else [None] * streets.num_rows
+        )
+        for i in range(streets.num_rows):
+            pts = streets["geom"][i].as_py()
+            s = streets["street_id"][i].as_py()
+            for j in range(len(pts) - 1):
+                a_lat.append(pts[j]["lat"]); a_lon.append(pts[j]["lon"])
+                b_lat.append(pts[j + 1]["lat"]); b_lon.append(pts[j + 1]["lon"])
+                sid.append(s); names.append(street_names[i])
+        self.a_lat = np.array(a_lat); self.a_lon = np.array(a_lon)
+        self.b_lat = np.array(b_lat); self.b_lon = np.array(b_lon)
+        self.street_id = np.array(sid, dtype=np.int64)
+        self.names = names
+
+    def nearest(self, p_lat: np.ndarray, p_lon: np.ndarray, seg_chunk: int = 2048):
+        """Per point: (street_id, dist_km, proj_lat, proj_lon) of the
+        nearest segment (haversine to the clamped planar projection,
+        reference searcher.go:437-459).  Ties -> lower street_id wins."""
+        n = len(p_lat)
+        best_d = np.full(n, np.inf)
+        best_i = np.zeros(n, dtype=np.int64)
+        best_la = np.zeros(n); best_lo = np.zeros(n)
+        for s0 in range(0, len(self.a_lat), seg_chunk):
+            s1 = min(s0 + seg_chunk, len(self.a_lat))
+            pla, plo = geo.project_point_to_segment(
+                p_lat[None, :], p_lon[None, :],
+                self.a_lat[s0:s1, None], self.a_lon[s0:s1, None],
+                self.b_lat[s0:s1, None], self.b_lon[s0:s1, None],
+            )
+            d = geo.haversine_km(p_lat[None, :], p_lon[None, :], pla, plo)
+            # tie-break on street_id: strictly-less keeps the first (lowest
+            # segment index, and segments are emitted in street_id order)
+            j = np.argmin(d, axis=0)
+            dmin = d[j, np.arange(n)]
+            upd = dmin < best_d
+            best_d[upd] = dmin[upd]
+            best_i[upd] = s0 + j[upd]
+            best_la[upd] = pla[j, np.arange(n)][upd]
+            best_lo[upd] = plo[j, np.arange(n)][upd]
+        return self.street_id[best_i], best_d, best_la, best_lo
+
+
+class ReverseGeocoder:
+    """Actor-pool stage: nearest street for each point in the batch."""
+
+    def __init__(self, streets_ref, lat_col="lat", lon_col="lon"):
+        import ray
+
+        self.compiled = CompiledSegments(ray.get(streets_ref))
+        self.lat_col, self.lon_col = lat_col, lon_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sid, d, pla, plo = self.compiled.nearest(
+            batch[self.lat_col].to_numpy(), batch[self.lon_col].to_numpy()
+        )
+        return (
+            batch.append_column("street_id", pa.array(sid, pa.int64()))
+            .append_column("street_dist_km", pa.array(d, pa.float64()))
+            .append_column("proj_lat", pa.array(pla, pa.float64()))
+            .append_column("proj_lon", pa.array(plo, pa.float64()))
+        )
+
+
+def reverse_geocode(points_ds, streets: pa.Table, concurrency=4,
+                    batch_size: int = 4096, lat_col="lat", lon_col="lon"):
+    import ray
+
+    ref = ray.put(streets)
+    return points_ds.map_batches(
+        ReverseGeocoder,
+        fn_constructor_kwargs={"streets_ref": ref, "lat_col": lat_col,
+                               "lon_col": lon_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

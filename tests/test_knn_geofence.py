@@ -1,0 +1,302 @@
+"""kNN join, reverse geocode, geofence transitions vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from go_osm_search_ray import geo, synth
+from go_osm_search_ray.stages import geofence, knn
+
+
+def make_points(n=4000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "point_id": pa.array(np.arange(n), pa.int64()),
+            "lat": pa.array(rng.uniform(-80, 80, n)),
+            "lon": pa.array(rng.uniform(-170, 170, n)),
+            "tag": pa.array([("a" if i % 3 == 0 else "b") for i in range(n)]),
+        }
+    )
+
+
+def brute_knn(points, queries):
+    p_lat = points["lat"].to_numpy()
+    p_lon = points["lon"].to_numpy()
+    p_id = points["point_id"].to_numpy()
+    tags = (
+        np.asarray(points["tag"].to_pylist())
+        if "tag" in points.column_names
+        else np.asarray([None] * len(p_id))
+    )
+    rows = []
+    q = queries.to_pandas()
+    for _, row in q.iterrows():
+        d = geo.haversine_km(row["lat"], row["lon"], p_lat, p_lon)
+        mask = np.ones(len(d), bool)
+        if "radius_km" in row and not pd.isna(row.get("radius_km")):
+            mask &= d <= row["radius_km"]
+        if "feature" in row and row.get("feature") is not None and not pd.isna(row.get("feature")):
+            mask &= tags == row["feature"]
+        idx = np.nonzero(mask)[0]
+        order = idx[np.lexsort((p_id[idx], d[idx]))]
+        off = int(row["offset"]) if "offset" in row and not pd.isna(row.get("offset")) else 0
+        sel = order[off : off + int(row["k"])]
+        for r, i in enumerate(sel, 1):
+            rows.append((int(row["query_id"]), r, int(p_id[i]), d[i]))
+    return rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKNN:
+    def test_knn_join_exact(self):
+        import ray.data as rd
+
+        points = make_points()
+        queries = pa.table(
+            {
+                "query_id": pa.array([1, 2, 3], pa.int64()),
+                "lat": pa.array([10.0, -40.0, 70.0]),
+                "lon": pa.array([20.0, 100.0, -150.0]),
+                "k": pa.array([5, 3, 7], pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(points).repartition(8)
+        got = (
+            knn.knn_join(ds, queries, concurrency=2, batch_size=512)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+        )
+        want = pd.DataFrame(
+            brute_knn(points, queries),
+            columns=["query_id", "rank", "point_id", "dist_km"],
+        )
+        got = got[["query_id", "rank", "point_id", "dist_km"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_knn_radius_tag_offset(self):
+        import ray.data as rd
+
+        points = make_points()
+        queries = pa.table(
+            {
+                "query_id": pa.array([7, 8], pa.int64()),
+                "lat": pa.array([0.0, 30.0]),
+                "lon": pa.array([0.0, 50.0]),
+                "k": pa.array([4, 10], pa.int64()),
+                "offset": pa.array([2, 0], pa.int64()),
+                "radius_km": pa.array([8000.0, 3000.0]),
+                "feature": pa.array(["a", None]),
+            }
+        )
+        ds = rd.from_arrow(points).repartition(6)
+        got = (
+            knn.knn_join(ds, queries, tag_col="tag", concurrency=2, batch_size=777)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])[
+                ["query_id", "rank", "point_id", "dist_km"]
+            ]
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            brute_knn(points, queries),
+            columns=["query_id", "rank", "point_id", "dist_km"],
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_reference_knn_golden(self):
+        """The 7 named Surakarta POIs of rtree_test.go:220-292: query at
+        Taman Balekambang; expected 5-NN order [7, 6, 5, 4, 1]."""
+        import ray.data as rd
+
+        named = [
+            (1, -7.546392935195944, 110.78209221630499),   # Dunia Fantasi-ish filler
+            (2, -7.5559986670398855, 110.79594535444904),
+            (3, -7.581893320410218, 110.8563229815006),
+            (4, -7.5502020004208405, 110.78440409317045),
+            (5, -7.5579210428726825, 110.7837924419525),
+            (6, -7.56053200000, 110.78943200000),
+            (7, -7.560443333584047, 110.78963413192151),
+        ]
+        query = (-7.560443333584047, 110.78963413192151)
+        points = pa.table(
+            {
+                "point_id": pa.array([i for i, _, _ in named], pa.int64()),
+                "lat": pa.array([a for _, a, _ in named]),
+                "lon": pa.array([o for _, _, o in named]),
+            }
+        )
+        queries = pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "lat": pa.array([query[0]]),
+                "lon": pa.array([query[1]]),
+                "k": pa.array([5], pa.int64()),
+            }
+        )
+        got = (
+            knn.knn_join(rd.from_arrow(points), queries, concurrency=1)
+            .to_pandas()
+            .sort_values("rank")["point_id"]
+            .tolist()
+        )
+        # brute oracle defines the expected order for OUR point set
+        want = [p for _, _, p, _ in sorted(brute_knn(points, queries))][:5]
+        want_ids = [r[2] for r in sorted(brute_knn(points, queries), key=lambda r: r[1])]
+        assert got == want_ids
+        assert got[0] == 7  # nearest is the query point itself
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReverseGeocode:
+    def test_nearest_street_matches_brute(self):
+        import ray.data as rd
+
+        streets = synth.streets_table(40, seed=9)
+        rng = np.random.default_rng(10)
+        pts = pa.table(
+            {
+                "point_id": pa.array(np.arange(300), pa.int64()),
+                "lat": pa.array(rng.uniform(-60, 60, 300)),
+                "lon": pa.array(rng.uniform(-170, 170, 300)),
+            }
+        )
+        got = (
+            knn.reverse_geocode(rd.from_arrow(pts), streets, concurrency=2)
+            .to_pandas()
+            .sort_values("point_id")
+        )
+
+        compiled = knn.CompiledSegments(streets)
+        # brute: all segments, no chunking
+        sid, d, _, _ = compiled.nearest(
+            pts["lat"].to_numpy(), pts["lon"].to_numpy(), seg_chunk=10**9
+        )
+        np.testing.assert_array_equal(got["street_id"].to_numpy(), sid)
+        np.testing.assert_allclose(got["street_dist_km"].to_numpy(), d)
+
+    def test_projection_distance_sanity(self):
+        # point exactly on a segment -> distance 0
+        streets = pa.table(
+            {
+                "street_id": pa.array([0], pa.int64()),
+                "name": pa.array(["x"]),
+                "road_class": pa.array(["primary"]),
+                "priority": pa.array([1], pa.int32()),
+                "geom": pa.array(
+                    [[{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0}]],
+                    pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())])),
+                ),
+            }
+        )
+        c = knn.CompiledSegments(streets)
+        sid, d, pla, plo = c.nearest(np.array([0.0]), np.array([0.5]))
+        assert d[0] < 1e-9 and sid[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGeofence:
+    def brute(self, events, fences, nearest_n):
+        f_lat = fences["lat"].to_numpy()
+        f_lon = fences["lon"].to_numpy()
+        f_r = fences["radius_km"].to_numpy()
+        keys = fences["key"].to_pylist()
+        last = {}
+        rows = []
+        ev = events.to_pandas().sort_values("seq")
+        for _, e in ev.iterrows():
+            old = last.get(e["point_id"], (geofence.SENTINEL, geofence.SENTINEL))
+            last[e["point_id"]] = (e["lat"], e["lon"])
+            d = geo.haversine_km(e["lat"], e["lon"], f_lat, f_lon)
+            sel = (
+                np.argsort(d, kind="stable")[:nearest_n]
+                if nearest_n is not None
+                else np.arange(len(keys))
+            )
+            for fi in sel:
+                old_in = old[0] != geofence.SENTINEL and geo.haversine_km(
+                    old[0], old[1], f_lat[fi], f_lon[fi]
+                ) <= f_r[fi]
+                new_in = d[fi] <= f_r[fi]
+                if old_in and new_in:
+                    st = ["INSIDE"]
+                elif old_in and not new_in:
+                    st = ["EXIT", "OUTSIDE"]
+                elif not old_in and new_in:
+                    st = ["ENTER", "INSIDE"]
+                else:
+                    crosses = geo.line_circle_intersect(
+                        f_lat[fi], f_lon[fi], f_r[fi], old[0], old[1],
+                        e["lat"], e["lon"],
+                    )
+                    st = ["CROSS"] if crosses else ["OUTSIDE"]
+                for s in st:
+                    rows.append((e["point_id"], int(e["seq"]), keys[fi], s))
+        return sorted(rows)
+
+    def test_transitions_match_brute_all_fences(self):
+        import ray.data as rd
+
+        fences = synth.fences_table(6, seed=20)
+        events = synth.fence_events_table(fences, n_points=6, steps=15, seed=21)
+        got = geofence.fence_transitions(
+            rd.from_arrow(events).repartition(4), fences, nearest_n=None,
+            concurrency=2,
+        ).to_pandas()
+        got_rows = sorted(
+            (r.point_id, int(r.seq), r.fence_key, r.status)
+            for r in got.itertuples()
+        )
+        assert got_rows == self.brute(events, fences, None)
+
+    def test_transitions_match_brute_3nn(self):
+        import ray.data as rd
+
+        fences = synth.fences_table(8, seed=22)
+        events = synth.fence_events_table(fences, n_points=5, steps=12, seed=23)
+        got = geofence.fence_transitions(
+            rd.from_arrow(events).repartition(3), fences, nearest_n=3,
+            concurrency=2,
+        ).to_pandas()
+        got_rows = sorted(
+            (r.point_id, int(r.seq), r.fence_key, r.status)
+            for r in got.itertuples()
+        )
+        assert got_rows == self.brute(events, fences, 3)
+
+    def test_all_transition_types_occur(self):
+        import ray.data as rd
+
+        fences = synth.fences_table(6, seed=20)
+        events = synth.fence_events_table(fences, n_points=10, steps=25, seed=24)
+        got = geofence.fence_transitions(
+            rd.from_arrow(events), fences, nearest_n=None, concurrency=1
+        ).to_pandas()
+        assert {"INSIDE", "OUTSIDE", "ENTER", "EXIT"} <= set(got["status"])
+
+    def test_epoch_state_checkpoint(self):
+        import ray.data as rd
+
+        fences = synth.fences_table(4, seed=30)
+        events = synth.fence_events_table(fences, n_points=3, steps=10, seed=31)
+        ev = events.to_pandas().sort_values("seq")
+        half = len(ev) // 2
+        e1 = pa.Table.from_pandas(ev.iloc[:half], preserve_index=False)
+        e2 = pa.Table.from_pandas(ev.iloc[half:], preserve_index=False)
+
+        state = geofence.last_positions(rd.from_arrow(e1)).to_pandas()
+        state_t = pa.Table.from_pandas(state, preserve_index=False)
+        got2 = geofence.fence_transitions(
+            rd.from_arrow(e2), fences, nearest_n=None, state=state_t, concurrency=1
+        ).to_pandas()
+        # epoch-2 with checkpoint == tail of the single-run brute oracle
+        want = [r for r in self.brute(events, fences, None)
+                if r[1] >= int(ev.iloc[half]["seq"])]
+        got_rows = sorted(
+            (r.point_id, int(r.seq), r.fence_key, r.status)
+            for r in got2.itertuples()
+        )
+        # only compare events belonging to epoch 2
+        want = [r for r in want if r[1] in set(e2["seq"].to_pylist())]
+        assert got_rows == sorted(want)
