@@ -1,0 +1,177 @@
+"""Embedding-space operators: brute-force cosine ANN + near-dup pairs.
+
+Scale model: the query matrix is broadcast (`ray.put`) and every corpus
+batch computes a numpy matmul against it, emitting a PARTIAL top-k per
+query — the same combiner plan as stages/knn.py, so the shuffle moves
+only O(blocks * Q * k) rows.  An IVF-style variant (coarse-bucket the
+corpus by nearest centroid, probe only matching buckets) rides on the
+same partial-top-k machinery via `ivf_assign`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix."""
+    arr = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+    return np.asarray(arr, dtype=np.float64)
+
+
+class CosineTopKPartial:
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 exclude_self: bool = True):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.q_ids = np.asarray(q["query_id"])
+        qm = np.asarray(q["embedding"], dtype=np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms > 0, norms, 1.0)
+        ids = batch[self.id_col].to_numpy()
+        sims = self.qm @ m.T  # Q x B
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            s = sims[qi]
+            mask = np.ones(len(s), bool)
+            if self.exclude_self:
+                mask &= ids != self.q_ids[qi]
+            idx = np.nonzero(mask)[0]
+            keep = min(self.k, len(idx))
+            if keep == 0:
+                continue
+            top = idx[np.argpartition(-s[idx], keep - 1)[:keep]]
+            out_q.append(np.full(len(top), self.q_ids[qi]))
+            out_i.append(ids[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_i)),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def cosine_topk(ds, queries: dict | pa.Table, k: int, id_col: str = "vec_id",
+                exclude_self: bool = True, concurrency=4, batch_size: int = 4096):
+    """queries: {'query_id': [...], 'embedding': [[...], ...]} ->
+    (query_id, rank, vec_id, cosine) exact brute-force top-k."""
+    import ray
+
+    if isinstance(queries, pa.Table):
+        queries = {
+            "query_id": queries["query_id"].to_pylist(),
+            "embedding": queries["embedding"].to_pylist(),
+        }
+    ref = ray.put(queries)
+    partials = ds.map_batches(
+        CosineTopKPartial,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
+                               "exclude_self": exclude_self},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                        block_rows: int = 8192):
+    """All (id_a < id_b) pairs with cosine >= threshold.
+
+    Block-matmul plan: corpus blocks cross-checked pairwise.  For the
+    sandbox scale a broadcast of the (normalized) full matrix is fine;
+    at 100 TB this becomes LSH-bucketed (random-hyperplane signs ->
+    groupby bucket) — see simhash for the banding pattern.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, "embedding"]).to_pandas()
+    ids = full[id_col].to_numpy()
+    m = np.asarray(full["embedding"].tolist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref_m = ray.put(m)
+    ref_ids = ray.put(ids)
+
+    class Block:
+        def __init__(self):
+            self.m = ray.get(ref_m)
+            self.ids = ray.get(ref_ids)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bm = _to_matrix(batch["embedding"])
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            b_ids = batch[id_col].to_numpy()
+            sims = bm @ self.m.T
+            ra, rb, rs = [], [], []
+            for i in range(len(b_ids)):
+                hits = np.nonzero(sims[i] >= threshold)[0]
+                for j in hits:
+                    if self.ids[j] > b_ids[i]:
+                        ra.append(b_ids[i]); rb.append(self.ids[j])
+                        rs.append(sims[i, j])
+            return pa.table({"id_a": pa.array(ra, pa.int64()),
+                             "id_b": pa.array(rb, pa.int64()),
+                             "cosine": pa.array(rs, pa.float64())})
+
+    return ds.map_batches(Block, batch_format="pyarrow", batch_size=block_rows,
+                          concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style scale path
+
+
+def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 0) -> np.ndarray:
+    """Tiny driver-side k-means (Lloyd) on a sample — the coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    c = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for k in range(n_centroids):
+            pts = sample[assign == k]
+            if len(pts):
+                c[k] = pts.mean(0)
+    return c
+
+
+def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id"):
+    """Add the nearest-centroid bucket column (the IVF partition key)."""
+    import ray
+
+    ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch["embedding"])
+            d = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
+            return batch.append_column(
+                "ivf_bucket", pa.array(d.argmin(1).astype(np.int64), pa.int64())
+            )
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)

@@ -1,0 +1,202 @@
+"""Dedup + embedding operators vs brute force, over testdata + synthetic dups."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from go_osm_search_ray.stages import dedup, embed, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_with_dups():
+    """testdata docs + injected exact and near duplicates."""
+    d = pq.read_table(f"{SF}/documents.parquet").to_pandas()[["doc_id", "text"]]
+    extra = []
+    base = d.iloc[0]["text"]
+    extra.append({"doc_id": 100000, "text": base})                      # exact dup
+    extra.append({"doc_id": 100001, "text": base.upper()})              # normalized dup
+    words = base.split()
+    near = " ".join(words[:-2] + ["zzz", "qqq"])                        # near dup
+    extra.append({"doc_id": 100002, "text": near})
+    return pd.concat([d, pd.DataFrame(extra)], ignore_index=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedup:
+    def test_keeps_min_id(self):
+        import ray.data as rd
+
+        df = docs_with_dups()
+        ds = rd.from_pandas(df).repartition(4)
+        kept = dedup.exact_dedup(ds).to_pandas()
+        assert 100000 not in kept["doc_id"].values
+        assert 100001 not in kept["doc_id"].values  # normalization folds case
+        assert 0 in kept["doc_id"].values
+        assert len(kept) == len(df) - 2
+
+    def test_hash_matches_duckdb_md5(self):
+        import duckdb
+
+        s = "some text WITH, punct!"
+        import re
+
+        norm = re.sub(r"[^a-z0-9]+", " ", s.lower())
+        want = duckdb.sql(
+            "SELECT md5(regexp_replace(lower($1), '[^a-z0-9]+', ' ', 'g'))", params=[s]
+        ).fetchone()[0]
+        assert dedup.md5_hex(norm) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNameBboxDedup:
+    def test_reference_semantics(self):
+        """Same name, point inside earlier record's bbox -> dropped
+        (indexer.go:582-618)."""
+        import ray.data as rd
+
+        t = pd.DataFrame(
+            {
+                "point_id": [1, 2, 3, 4, 5],
+                "name": ["Taman Indah", "taman indah", "TAMAN INDAH", "Other", "taman indah"],
+                "lat": [0.0, 0.0, 5.0, 0.0, 2.5],
+                "lon": [0.0, 0.0, 5.0, 0.0, 2.5],
+            }
+        )
+        kept = dedup.name_bbox_dedup(rd.from_pandas(t)).to_pandas()
+        ids = sorted(kept["point_id"])
+        # 1 kept; 2 dropped (same point); 3 kept (outside box), grows box
+        # to (0,0)-(5,5); 5 dropped (inside grown box); 4 kept (other name)
+        assert ids == [1, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJaccardAndMinhash:
+    def brute_pairs(self, df, k=3, threshold=0.2):
+        toks = text.tokenize_series(df["text"])
+        sh = {d: dedup._shingles(ws, k) for d, ws in zip(df["doc_id"], toks)}
+        out = set()
+        ids = sorted(sh)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sh[ids[i]], sh[ids[j]]
+                if not a and not b:
+                    continue
+                inter = len(a & b)
+                if inter == 0:
+                    continue
+                jac = inter / len(a | b)
+                if jac >= threshold:
+                    out.add((ids[i], ids[j], round(jac, 6)))
+        return out
+
+    def test_jaccard_pairs_exact(self):
+        import ray.data as rd
+
+        df = docs_with_dups().head(120)
+        got = dedup.jaccard_pairs(rd.from_pandas(df).repartition(4), threshold=0.2).to_pandas()
+        got_set = {(a, b, round(j, 6)) for a, b, j in
+                   zip(got["id_a"], got["id_b"], got["jaccard"])}
+        assert got_set == self.brute_pairs(df)
+
+    def test_minhash_finds_planted_dups(self):
+        import ray.data as rd
+
+        df = docs_with_dups()
+        got = dedup.minhash_lsh_pairs(
+            rd.from_pandas(df).repartition(4), threshold=0.5
+        ).to_pandas()
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        assert (0, 100000) in pairs  # exact dup always caught
+        assert (0, 100001) in pairs
+        # every reported pair genuinely passes the threshold
+        assert (got["jaccard"] >= 0.5).all()
+
+    def test_simhash_near_dups(self):
+        import ray.data as rd
+
+        df = docs_with_dups()
+        got = dedup.simhash_dup_pairs(rd.from_pandas(df).repartition(3),
+                                      max_hamming=3).to_pandas()
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        assert (0, 100000) in pairs
+        assert (got["hamming"] <= 3).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddings:
+    def test_cosine_topk_matches_brute(self):
+        import ray.data as rd
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        df = emb.to_pandas()
+        qn = 5
+        queries = {
+            "query_id": df["vec_id"].head(qn).tolist(),
+            "embedding": df["embedding"].head(qn).tolist(),
+        }
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet").repartition(4)
+        got = (
+            embed.cosine_topk(ds, queries, k=5, concurrency=2, batch_size=100)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+        )
+
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy()
+        for qi in range(qn):
+            sims = m[qi] @ m.T
+            mask = ids != ids[qi]
+            order = np.lexsort((ids[mask], -sims[mask]))
+            want_ids = ids[mask][order][:5]
+            sub = got[got["query_id"] == ids[qi]].sort_values("rank")
+            np.testing.assert_array_equal(sub["vec_id"].to_numpy(), want_ids)
+            np.testing.assert_allclose(
+                sub["cosine"].to_numpy(), sims[mask][order][:5], atol=1e-12
+            )
+
+    def test_dup_pairs_threshold(self):
+        import ray.data as rd
+
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()[["vec_id", "embedding"]]
+        # plant near-duplicate vectors (slightly perturbed copies)
+        rng = np.random.default_rng(3)
+        extra = []
+        for i in range(5):
+            v = np.asarray(df["embedding"].iloc[i], dtype=np.float64)
+            extra.append(
+                {"vec_id": 100000 + i,
+                 "embedding": (v + rng.normal(0, 0.01, len(v))).tolist()}
+            )
+        df = pd.concat([df, pd.DataFrame(extra)], ignore_index=True)
+        ds = rd.from_pandas(df).repartition(3)
+        got = embed.embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy()
+        sims = m @ m.T
+        want = {
+            (int(ids[i]), int(ids[j]))
+            for i in range(len(ids))
+            for j in range(len(ids))
+            if ids[i] < ids[j] and sims[i, j] >= 0.9
+        }
+        assert set(zip(got["id_a"], got["id_b"])) == want
+
+    def test_ivf_assign_buckets(self):
+        import ray.data as rd
+
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        cents = embed.kmeans_centroids(m[:200], 8, iters=5)
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = embed.ivf_assign(ds, cents).to_pandas()
+        assert out["ivf_bucket"].between(0, 7).all()
+        # assignment is the true argmin
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        want = d.argmin(1)
+        got = out.sort_values("vec_id")["ivf_bucket"].to_numpy()
+        np.testing.assert_array_equal(got, want)

@@ -1,0 +1,218 @@
+"""Text stages over the real testdata documents table, cross-checked
+against pandas/DuckDB brute force."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from go_osm_search_ray.stages import text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_tokenizer_matches_duckdb(docs):
+    got = text.tokenize_series(docs["text"]).tolist()
+    want = duckdb.sql(
+        f"SELECT regexp_extract_all(lower(text),'[a-z0-9]+') AS t "
+        f"FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    assert got == [w[0] for w in want]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPostings:
+    def test_pairs_match_duckdb(self, docs):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = (
+            ds.map_batches(lambda b: text.postings_pairs(b), batch_format="pandas")
+            .to_pandas()
+            .sort_values(["term", "doc_id"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""
+            SELECT DISTINCT t.term, d.doc_id
+            FROM read_parquet('{SF}/documents.parquet') d,
+                 unnest(regexp_extract_all(lower(d.text),'[a-z0-9]+')) AS t(term)
+            ORDER BY term, doc_id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_df_and_lengths(self, docs):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got_df = text.term_df(ds).to_pandas().set_index("term")["df"]
+        toks = text.tokenize_series(docs["text"])
+        want = {}
+        for d, ws in zip(docs["doc_id"], toks):
+            for w in set(ws):
+                want[w] = want.get(w, 0) + 1
+        assert got_df.to_dict() == want
+
+        got_len = (
+            ds.map_batches(lambda b: text.doc_lengths(b), batch_format="pandas")
+            .to_pandas()
+            .set_index("doc_id")["n_tokens"]
+        )
+        assert got_len.to_dict() == {d: len(w) for d, w in zip(docs["doc_id"], toks)}
+
+    def test_postings_lists_sorted(self):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        out = text.postings_lists(ds).to_pandas()
+        for p in out["postings"]:
+            assert list(p) == sorted(p)
+
+
+def brute_bm25f(docs, terms, name_len=3):
+    toks = text.tokenize_series(docs["text"])
+    names = toks.map(lambda ws: ws[:name_len])
+    addrs = toks.map(lambda ws: ws[name_len:])
+    N = len(docs)
+    avg_name = names.str.len().mean()
+    avg_addr = addrs.str.len().mean()
+    scores = {}
+    for t in terms:
+        df = sum(1 for ws in toks if t in ws)
+        if df == 0:
+            continue
+        idf = np.log10(N - df + 0.5) - np.log10(df + 0.5)
+        for d, nm, ad in zip(docs["doc_id"], names, addrs):
+            s = 0.0
+            tfn = nm.count(t)
+            if tfn:
+                w = text.NAME_WEIGHT * (
+                    tfn / (1 + text.NAME_B * (len(nm) / avg_name - 1))
+                )
+                s += w / (text.K1_BM25F + w) * idf
+            tfa = ad.count(t)
+            if tfa:
+                w = text.ADDRESS_WEIGHT * (
+                    tfa / (1 + text.NAME_B * (len(ad) / avg_addr - 1))
+                )
+                s += w / (text.K1_BM25F + w) * idf
+            if s:
+                scores[d] = scores.get(d, 0.0) + s
+    return scores
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScoring:
+    def test_bm25f_matches_brute(self, docs):
+        import ray.data as rd
+
+        terms = ["hash", "merge", "scan"]
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = text.bm25f_score(ds, terms).to_pandas().set_index("doc_id")["score"]
+        want = brute_bm25f(docs, terms)
+        assert set(got.index) == set(want)
+        for d, s in want.items():
+            assert abs(got[d] - s) < 1e-9
+
+    def test_top_k_pagination(self, docs):
+        import ray.data as rd
+
+        terms = ["hash", "merge"]
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        scored = text.bm25f_score(ds, terms)
+        full = text.top_k(scored, k=10, offset=0)
+        page2 = text.top_k(text.bm25f_score(ds, terms), k=5, offset=5)
+        pd.testing.assert_frame_equal(
+            full.iloc[5:10][["doc_id", "score"]].reset_index(drop=True),
+            page2[["doc_id", "score"]].reset_index(drop=True),
+        )
+
+    def test_bm25plus_and_tfidf_run(self, docs):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        plus = text.bm25plus_score(ds, ["hash", "scan"]).to_pandas()
+        tfidf = text.tfidf_score(ds, ["hash", "scan", "hash"]).to_pandas()
+        assert len(plus) > 0 and len(tfidf) > 0
+        # docs containing both terms outrank single-term docs on average
+        toks = text.tokenize_series(docs["text"])
+        both = {d for d, ws in zip(docs["doc_id"], toks) if "hash" in ws and "scan" in ws}
+        one = {d for d, ws in zip(docs["doc_id"], toks) if ("hash" in ws) ^ ("scan" in ws)}
+        if both and one:
+            pb = plus.set_index("doc_id")["score"]
+            assert pb[list(both)].mean() > pb[list(one)].mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgrams:
+    def test_bigram_counts_match_brute(self, docs):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = text.ngram_counts(ds, 2).to_pandas().set_index("ngram")["n"]
+        want = {}
+        for ws in text.tokenize_series(docs["text"]):
+            seq = [text.START_TOKEN] * 2 + list(ws) + [text.END_TOKEN]
+            for i in range(len(seq) - 1):
+                g = f"{seq[i]} {seq[i + 1]}"
+                want[g] = want.get(g, 0) + 1
+        assert got.to_dict() == want
+
+    def test_unigram_padding_per_reference(self, docs):
+        """n start tokens + 1 end token (ngram_lm.go:373-384): unigrams
+        get 1 <s> and 1 </s> per doc."""
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = text.ngram_counts(ds, 1).to_pandas().set_index("ngram")["n"]
+        assert got[text.START_TOKEN] == len(docs)
+        assert got[text.END_TOKEN] == len(docs)
+
+    def test_vocab_threshold(self, docs):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = set(text.vocab_with_min_freq(ds, 2).to_pandas()["term"])
+        counts = {}
+        for ws in text.tokenize_series(docs["text"]):
+            for w in ws:
+                counts[w] = counts.get(w, 0) + 1
+        assert got == {w for w, c in counts.items() if c >= 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnalysis:
+    def test_quality_metrics(self, docs):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = (
+            ds.map_batches(lambda b: text.quality_metrics(b), batch_format="pandas")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert (got["n_chars"] == docs.set_index("doc_id")["n_chars"]).all()
+        assert ((got["punct_ratio"] >= 0) & (got["punct_ratio"] <= 1)).all()
+        assert ((got["stopword_ratio"] >= 0) & (got["stopword_ratio"] <= 1)).all()
+
+    def test_lang_id_and_token_counts(self, docs):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        li = ds.map_batches(lambda b: text.lang_id(b), batch_format="pandas").to_pandas()
+        assert len(li) == len(docs)
+        assert set(li["pred_lang"]) <= set(text.STOPWORDS) | {"unknown"}
+        tc = (
+            ds.map_batches(lambda b: text.token_counts(b), batch_format="pandas")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        ws = docs.set_index("doc_id")["text"].str.split().str.len()
+        assert (tc["ws_tokens"] == ws).all()
