@@ -1,0 +1,1009 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle where SQL can express it.
+
+Design rules for oracle parity (driver hashes values order-insensitively
+after sorting columns by name):
+
+- integer outputs wherever the quantity is rational (counts, sizes,
+  ranks) — cross-engine float rounding can differ exactly at decimal
+  boundaries, integers cannot;
+- float outputs only for irrational quantities (haversine km, BM25
+  logs, cosines), computed with the SAME formula text in numpy and SQL
+  and rounded to 6 decimals;
+- all synthetic geo inputs derive from table keys via
+  lat=((k*9973)%18000+0.5)/100-90, lon=((k*7919)%36000+0.5)/100-180 —
+  exactly reproducible in SQL (see geo.point_from_key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import geo
+from ..sources import read_table, read_table_arrow
+from ..stages import dedup, embed, geofence, knn, pip, text, tiling
+
+TILE_RES = 7
+_N = 1 << TILE_RES
+
+# ---------------------------------------------------------------------------
+# SQL fragment helpers (mirror geo.py bit-for-bit)
+
+
+def sql_lat(k: str, m: int = 9973) -> str:
+    return f"(CAST((({k})*{m})%18000 AS DOUBLE)+0.5)/100.0-90.0"
+
+
+def sql_lon(k: str, m: int = 7919) -> str:
+    return f"(CAST((({k})*{m})%36000 AS DOUBLE)+0.5)/100.0-180.0"
+
+
+def sql_tile(lat: str, lon: str, res: int = TILE_RES) -> str:
+    n = 1 << res
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(({lat}+90.0)/180.0*{n}) AS BIGINT),0),{n - 1})*{n}"
+        f"+LEAST(GREATEST(CAST(FLOOR(({lon}+180.0)/360.0*{n}) AS BIGINT),0),{n - 1})"
+    )
+
+
+def sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Identical op order to geo.haversine_km."""
+    a = (
+        f"((1-cos(radians({lat1})-radians({lat2})))/2.0"
+        f"+cos(radians({lat1}))*cos(radians({lat2}))"
+        f"*(1-cos(radians({lon1})-radians({lon2})))/2.0)"
+    )
+    return f"(6371.0*2.0*asin(sqrt(LEAST(GREATEST({a},0.0),1.0))))"
+
+
+TOK = "regexp_extract_all(lower(text),'[a-z0-9]+')"
+
+# ---------------------------------------------------------------------------
+# derived inputs (Ray side)
+
+
+def orders_points(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = tiling.derive_key_latlon("o_orderkey")(b)
+        b = tiling.assign_tiles(TILE_RES)(b)
+        return b.rename_columns(
+            ["point_id", "status", "lat", "lon", "tile_id"]
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def supplier_queries(sf_dir: str, k=5, offset=0, radius=None, feature=None) -> pa.Table:
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey"])
+    key = sup["s_suppkey"].to_numpy().astype(np.int64)
+    lat, lon = geo.point_from_key(key * 13 + 7)
+    cols = {
+        "query_id": pa.array(key, pa.int64()),
+        "lat": pa.array(lat),
+        "lon": pa.array(lon),
+        "k": pa.array(np.full(len(key), k), pa.int64()),
+        "offset": pa.array(np.full(len(key), offset), pa.int64()),
+    }
+    if radius is not None:
+        cols["radius_km"] = pa.array(np.full(len(key), float(radius)))
+    if feature is not None:
+        cols["feature"] = pa.array([feature] * len(key))
+    return pa.table(cols)
+
+
+def nation_rects(sf_dir: str) -> pa.Table:
+    """PIP side table: one overlapping rectangle per nation (layout
+    mirrored in SQL: row=n%5, col=n//5, 38x74-degree rects)."""
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    keys = sorted(nat["n_nationkey"].to_pylist())
+    ring_type = pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))
+    rings, pids = [], []
+    for n in keys:
+        r, c = n % 5, n // 5
+        lat0, lon0 = r * 36.0 - 90.0, c * 72.0 - 180.0
+        lat1, lon1 = lat0 + 38.0, lon0 + 74.0
+        rings.append(
+            [{"lat": lat0, "lon": lon0}, {"lat": lat0, "lon": lon1},
+             {"lat": lat1, "lon": lon1}, {"lat": lat1, "lon": lon0},
+             {"lat": lat0, "lon": lon0}]
+        )
+        pids.append(int(n))
+    return pa.table({"polygon_id": pa.array(pids, pa.int64()),
+                     "ring": pa.array(rings, ring_type)})
+
+
+SQL_NATION_RECTS = """
+  SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+         (n_nationkey%5)*36.0-90.0   AS lat0,
+         (n_nationkey%5)*36.0-52.0   AS lat1,
+         (n_nationkey//5)*72.0-180.0 AS lon0,
+         (n_nationkey//5)*72.0-106.0 AS lon1
+  FROM nation
+"""
+
+
+def nation_segments(sf_dir: str) -> pa.Table:
+    """Street stand-ins: one segment per nation, endpoints key-derived."""
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    a_lat, a_lon = geo.point_from_key(keys * 31 + 11)
+    b_lat, b_lon = geo.point_from_key(keys * 31 + 12)
+    geom_type = pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))
+    geoms = [
+        [{"lat": float(al), "lon": float(ao)}, {"lat": float(bl), "lon": float(bo)}]
+        for al, ao, bl, bo in zip(a_lat, a_lon, b_lat, b_lon)
+    ]
+    return pa.table({"street_id": pa.array(keys, pa.int64()),
+                     "geom": pa.array(geoms, geom_type)})
+
+
+def supplier_fences(sf_dir: str) -> pa.Table:
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey"])
+    key = np.sort(sup["s_suppkey"].to_numpy().astype(np.int64))
+    lat, lon = geo.point_from_key(key * 29 + 3)
+    return pa.table(
+        {
+            "fence_name": pa.array(["fleet"] * len(key)),
+            "key": pa.array([f"f{int(k)}" for k in key]),
+            "fence_id": pa.array(key, pa.int64()),
+            "lat": pa.array(lat),
+            "lon": pa.array(lon),
+            "radius_km": pa.array((200.0 + (key % 7) * 150.0).astype(np.float64)),
+        }
+    )
+
+
+def fence_events(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy().astype(np.int64)
+        usr = b["user_id"].to_numpy().astype(np.int64)
+        lat, lon = geo.point_from_key(ev * 17 + usr * 13 + 5)
+        return pa.table(
+            {
+                "seq": pa.array(ev, pa.int64()),
+                "point_id": pa.array([f"u{int(u)}" for u in usr], pa.string()),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+SQL_EVENT_POINTS = f"""
+  SELECT CAST(event_id AS BIGINT) AS seq,
+         'u' || CAST(user_id AS VARCHAR) AS point_id,
+         user_id,
+         {sql_lat('event_id*17+user_id*13+5')} AS lat,
+         {sql_lon('event_id*17+user_id*13+5')} AS lon
+  FROM events
+"""
+
+SQL_FENCES = f"""
+  SELECT 'f' || CAST(s_suppkey AS VARCHAR) AS key,
+         CAST(s_suppkey AS BIGINT) AS fence_id,
+         {sql_lat('s_suppkey*29+3')} AS lat,
+         {sql_lon('s_suppkey*29+3')} AS lon,
+         200.0 + (s_suppkey%7)*150.0 AS radius_km
+  FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# geospatial queries
+
+
+def q_tile_assign(sf_dir: str):
+    return orders_points(sf_dir).select_columns(["point_id", "lat", "lon", "tile_id"])
+
+
+SQL_TILE_ASSIGN = f"""
+SELECT CAST(o_orderkey AS BIGINT) AS point_id,
+       {sql_lat('o_orderkey')} AS lat,
+       {sql_lon('o_orderkey')} AS lon,
+       {sql_tile(sql_lat('o_orderkey'), sql_lon('o_orderkey'))} AS tile_id
+FROM orders
+"""
+
+
+def q_tile_histogram(sf_dir: str):
+    return tiling.salted_tile_counts(orders_points(sf_dir))
+
+
+SQL_TILE_HISTOGRAM = f"""
+SELECT {sql_tile(sql_lat('o_orderkey'), sql_lon('o_orderkey'))} AS tile_id,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_pip_join(sf_dir: str):
+    joined = pip.pip_join(
+        orders_points(sf_dir), nation_rects(sf_dir), tile_res=TILE_RES,
+        concurrency=2, attach_meta=False,
+    )
+    return joined.select_columns(["point_id", "polygon_id"])
+
+
+SQL_PIP_JOIN = f"""
+WITH p AS (SELECT CAST(o_orderkey AS BIGINT) AS point_id,
+                  {sql_lat('o_orderkey')} AS lat, {sql_lon('o_orderkey')} AS lon
+           FROM orders),
+r AS ({SQL_NATION_RECTS})
+SELECT p.point_id, MIN(r.polygon_id) AS polygon_id
+FROM p JOIN r ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1
+GROUP BY p.point_id
+"""
+
+
+def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(6)
+    return df
+
+
+def q_knn_join(sf_dir: str):
+    out = knn.knn_join(
+        orders_points(sf_dir), supplier_queries(sf_dir, k=5), concurrency=2
+    ).to_pandas()
+    return _round6(out[["query_id", "rank", "point_id", "dist_km"]], ["dist_km"])
+
+
+def _sql_knn(extra_where: str, k: int, offset: int, qk: str) -> str:
+    hav = sql_haversine("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+WITH q AS (SELECT CAST(s_suppkey AS BIGINT) AS query_id,
+                  {sql_lat(qk)} AS lat, {sql_lon(qk)} AS lon FROM supplier),
+p AS (SELECT CAST(o_orderkey AS BIGINT) AS point_id, o_orderstatus AS status,
+             {sql_lat('o_orderkey')} AS lat, {sql_lon('o_orderkey')} AS lon
+      FROM orders),
+d AS (SELECT q.query_id, p.point_id, {hav} AS dist_km,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {hav}, p.point_id) AS rn
+      FROM q CROSS JOIN p {extra_where})
+SELECT query_id, rn - {offset} AS rank, point_id, round(dist_km, 6) AS dist_km
+FROM d WHERE rn > {offset} AND rn <= {offset + k}
+"""
+
+
+SQL_KNN_JOIN = _sql_knn("", 5, 0, "s_suppkey*13+7")
+
+
+def q_knn_radius_filter(sf_dir: str):
+    out = knn.knn_join(
+        orders_points(sf_dir),
+        supplier_queries(sf_dir, k=10, offset=2, radius=3000.0, feature="O"),
+        tag_col="status",
+        concurrency=2,
+    ).to_pandas()
+    return _round6(out[["query_id", "rank", "point_id", "dist_km"]], ["dist_km"])
+
+
+SQL_KNN_RADIUS = _sql_knn(
+    f"WHERE p.status = 'O' AND {sql_haversine('q.lat', 'q.lon', 'p.lat', 'p.lon')} <= 3000.0",
+    10, 2, "s_suppkey*13+7",
+)
+
+
+def q_reverse_geocode(sf_dir: str):
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = tiling.derive_key_latlon("c_custkey")(b)
+        return b.rename_columns(["point_id", "lat", "lon"])
+
+    pts = cust.map_batches(derive, batch_format="pyarrow")
+    out = knn.reverse_geocode(pts, nation_segments(sf_dir), concurrency=2).to_pandas()
+    out = out[["point_id", "street_id", "street_dist_km"]].rename(
+        columns={"street_dist_km": "dist_km"}
+    )
+    return _round6(out, ["dist_km"])
+
+
+SQL_REVERSE_GEOCODE = f"""
+WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS point_id,
+                  {sql_lat('c_custkey')} AS lat, {sql_lon('c_custkey')} AS lon
+           FROM customer),
+s AS (SELECT CAST(n_nationkey AS BIGINT) AS street_id,
+             {sql_lat('n_nationkey*31+11')} AS alat, {sql_lon('n_nationkey*31+11')} AS alon,
+             {sql_lat('n_nationkey*31+12')} AS blat, {sql_lon('n_nationkey*31+12')} AS blon
+      FROM nation),
+pr AS (SELECT p.point_id, s.street_id, p.lat, p.lon,
+              s.alat + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
+                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
+                       * (s.blat-s.alat) AS plat,
+              s.alon + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
+                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
+                       * (s.blon-s.alon) AS plon
+       FROM p CROSS JOIN s),
+d AS (SELECT point_id, street_id,
+             {sql_haversine('lat', 'lon', 'plat', 'plon')} AS dist_km,
+             row_number() OVER (PARTITION BY point_id
+                                ORDER BY {sql_haversine('lat', 'lon', 'plat', 'plon')}, street_id) AS rn
+      FROM pr)
+SELECT point_id, street_id, round(dist_km, 6) AS dist_km FROM d WHERE rn = 1
+"""
+
+
+def q_geofence_transitions(sf_dir: str):
+    return geofence.fence_transitions(
+        fence_events(sf_dir), supplier_fences(sf_dir), nearest_n=3, concurrency=2
+    )
+
+
+def _sql_geofence() -> str:
+    hav_new = sql_haversine("e.lat", "e.lon", "f.lat", "f.lon")
+    hav_old = sql_haversine("e.olat", "e.olon", "f.lat", "f.lon")
+    # line-circle CROSS (reference circle.go:54-96), equirect meters
+    cross = """
+      (CASE WHEN alpha > 0 AND disc >= 0 THEN
+        ((-beta + sqrt(disc))/alpha BETWEEN 0 AND 1) OR
+        ((-beta - sqrt(disc))/alpha BETWEEN 0 AND 1)
+       ELSE FALSE END)
+    """
+    return f"""
+WITH ev0 AS ({SQL_EVENT_POINTS}),
+ev AS (SELECT seq, point_id, lat, lon,
+              lag(lat, 1, -999.0) OVER (PARTITION BY point_id ORDER BY seq) AS olat,
+              lag(lon, 1, -999.0) OVER (PARTITION BY point_id ORDER BY seq) AS olon
+       FROM ev0),
+f AS ({SQL_FENCES}),
+pair0 AS (SELECT e.point_id, e.seq, f.key AS fence_key, f.fence_id,
+                 {hav_new} AS dnew,
+                 CASE WHEN e.olat != -999.0 THEN {hav_old} <= f.radius_km
+                      ELSE FALSE END AS old_in,
+                 {hav_new} <= f.radius_km AS new_in,
+                 radians(f.lat) AS clat, radians(f.lon) AS clon,
+                 f.radius_km*1000.0 AS rm,
+                 e.olat AS olat, e.olon AS olon, e.lat AS lat, e.lon AS lon
+          FROM ev e CROSS JOIN f),
+pair1 AS (SELECT *,
+                 radians(olat)*6371007.0 AS a_lat,
+                 radians(olon)*6371007.0*cos(clat) AS a_lon,
+                 radians(lat)*6371007.0 AS b_lat,
+                 radians(lon)*6371007.0*cos(clat) AS b_lon,
+                 clat*6371007.0 AS cc_lat,
+                 clon*6371007.0*cos(clat) AS cc_lon,
+                 row_number() OVER (PARTITION BY point_id, seq
+                                    ORDER BY dnew, fence_id) AS rn
+          FROM pair0),
+pair2 AS (SELECT *,
+                 (b_lat-a_lat)*(b_lat-a_lat)+(b_lon-a_lon)*(b_lon-a_lon) AS alpha,
+                 (b_lat-a_lat)*(a_lat-cc_lat)+(b_lon-a_lon)*(a_lon-cc_lon) AS beta,
+                 (a_lat-cc_lat)*(a_lat-cc_lat)+(a_lon-cc_lon)*(a_lon-cc_lon)-rm*rm AS gamma
+          FROM pair1 WHERE rn <= 3),
+pair3 AS (SELECT *, beta*beta - alpha*gamma AS disc FROM pair2)
+SELECT point_id, seq, fence_key,
+       unnest(CASE
+         WHEN old_in AND new_in THEN ['INSIDE']
+         WHEN old_in AND NOT new_in THEN ['EXIT','OUTSIDE']
+         WHEN NOT old_in AND new_in THEN ['ENTER','INSIDE']
+         WHEN {cross} THEN ['CROSS']
+         ELSE ['OUTSIDE'] END) AS status
+FROM pair3
+"""
+
+
+SQL_GEOFENCE = _sql_geofence()
+
+
+def q_fence_last_positions(sf_dir: str):
+    return geofence.last_positions(fence_events(sf_dir))
+
+
+SQL_LAST_POSITIONS = f"""
+WITH ev AS ({SQL_EVENT_POINTS}),
+r AS (SELECT point_id, lat, lon,
+             row_number() OVER (PARTITION BY point_id ORDER BY seq DESC) AS rn
+      FROM ev)
+SELECT point_id, lat, lon FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / search queries
+
+
+def q_postings_pairs(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: text.postings_pairs(b), batch_format="pandas"
+    )
+
+
+SQL_POSTINGS = f"""
+SELECT DISTINCT t.term, d.doc_id
+FROM documents d, unnest({TOK}) AS t(term)
+"""
+
+
+def q_term_df(sf_dir: str):
+    return text.term_df(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_TERM_DF = f"""
+SELECT term, COUNT(*) AS df FROM (
+  SELECT DISTINCT t.term, d.doc_id FROM documents d, unnest({TOK}) AS t(term)
+) GROUP BY term
+"""
+
+
+def q_doc_lengths(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: text.doc_lengths(b), batch_format="pandas"
+    )
+
+
+SQL_DOC_LENGTHS = f"SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens FROM documents"
+
+BM25_TERMS = ["hash", "merge", "scan"]
+
+
+def q_bm25f_topk(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text.top_k(text.bm25f_score(ds, BM25_TERMS), k=10)
+    out = out[["rank", "doc_id", "score"]]
+    return _round6(out, ["score"])
+
+
+def _sql_bm25f() -> str:
+    """Mirror of text.bm25f_score (incl. the reference's NAME_B-for-both
+    quirk).  name = first 3 tokens, address = rest."""
+    per_term = []
+    for t in BM25_TERMS:
+        per_term.append(f"""
+          (CASE WHEN s.df_{t} > 0 AND d.tfn_{t} > 0 THEN
+             (20.0*(d.tfn_{t}/(1+0.95*(d.ln/s.avg_name-1))))
+             /(10.0+(20.0*(d.tfn_{t}/(1+0.95*(d.ln/s.avg_name-1)))))
+             *(log10(s.n_docs-s.df_{t}+0.5)-log10(s.df_{t}+0.5)) ELSE 0.0 END)
+        + (CASE WHEN s.df_{t} > 0 AND d.tfa_{t} > 0 AND d.la > 0 THEN
+             (1.0*(d.tfa_{t}/(1+0.95*(d.la/s.avg_addr-1))))
+             /(10.0+(1.0*(d.tfa_{t}/(1+0.95*(d.la/s.avg_addr-1)))))
+             *(log10(s.n_docs-s.df_{t}+0.5)-log10(s.df_{t}+0.5)) ELSE 0.0 END)""")
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(tok[1:3], x -> x = '{t}')) AS DOUBLE) AS tfn_{t},"
+        f" CAST(len(list_filter(tok[4:], x -> x = '{t}')) AS DOUBLE) AS tfa_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(tok, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = " + ".join(per_term)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tok FROM documents),
+d AS (SELECT doc_id,
+             CAST(LEAST(len(tok), 3) AS DOUBLE) AS ln,
+             CAST(GREATEST(len(tok)-3, 0) AS DOUBLE) AS la,
+             {tf_cols}
+      FROM toks),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(CAST(LEAST(len(tok),3) AS DOUBLE))/COUNT(*) AS avg_name,
+             SUM(CAST(GREATEST(len(tok)-3,0) AS DOUBLE))/COUNT(*) AS avg_addr,
+             {df_cols}
+      FROM toks),
+scored AS (SELECT d.doc_id, ({score}) AS score FROM d CROSS JOIN s),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM scored WHERE score != 0.0)
+SELECT rank, doc_id, round(score, 6) AS score FROM ranked WHERE rank <= 10
+"""
+
+
+SQL_BM25F = _sql_bm25f()
+
+
+def q_ngram_bigrams(sf_dir: str):
+    return text.ngram_counts(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), 2
+    )
+
+
+SQL_BIGRAMS = f"""
+WITH l AS (SELECT ['<s>','<s>'] || {TOK} || ['</s>'] AS t FROM documents),
+g AS (SELECT t[i] || ' ' || t[i+1] AS ngram
+      FROM l, unnest(range(1, len(t))) AS u(i))
+SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+"""
+
+
+def q_vocab_min_freq(sf_dir: str):
+    return text.vocab_with_min_freq(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), 2
+    )
+
+
+SQL_VOCAB = f"""
+SELECT t.term, COUNT(*) AS freq
+FROM documents d, unnest({TOK}) AS t(term)
+GROUP BY t.term HAVING COUNT(*) >= 2
+"""
+
+
+def q_quality_signals(sf_dir: str):
+    """Integer quality signals (ratios stay library-side; ints hash
+    identically across engines)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = text.tokenize_series(batch["text"])
+        en = set(text.STOPWORDS["en"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": toks.str.len().astype(np.int64),
+                "n_chars": batch["text"].str.len().astype(np.int64),
+                "alnum_space_chars": batch["text"]
+                .str.count(r"[a-zA-Z0-9 ]")
+                .astype(np.int64),
+                "token_chars": toks.map(lambda ws: sum(len(w) for w in ws)).astype(
+                    np.int64
+                ),
+                "stop_hits": toks.map(
+                    lambda ws: sum(1 for w in ws if w in en)
+                ).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+_EN = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       CAST(len({TOK}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS token_chars,
+       CAST(len(list_filter({TOK}, x -> x IN ({_EN}))) AS BIGINT) AS stop_hits
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: text.lang_id(b), batch_format="pandas"
+    )
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(text.STOPWORDS)
+    hits = ", ".join(
+        f"CAST(len(list_filter({TOK}, x -> x IN ({', '.join(repr(w) for w in text.STOPWORDS[l])}))) AS BIGINT) AS h_{l}"
+        for l in langs
+    )
+    mx = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    pick = " ".join(f"WHEN h_{l} = {mx} THEN '{l}'" for l in langs)
+    return f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents)
+SELECT doc_id,
+       CASE WHEN {mx} = 0 THEN 'unknown' ELSE CASE {pick} END END AS pred_lang
+FROM h
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_token_counts(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: text.token_counts(b), batch_format="pandas"
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def _shingle_common_impl(sf_dir: str):
+    """(id_a, id_b, common, size_a, size_b) for pairs passing
+    common*5 >= size_a+size_b-common."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = text.tokenize_series(batch["text"])
+        ids, shs, sizes = [], [], []
+        for i, ws in enumerate(toks):
+            sh = sorted(dedup._shingles(ws, 3))
+            ids.extend([batch["doc_id"].iloc[i]] * len(sh))
+            shs.extend(sh)
+            sizes.extend([len(sh)] * len(sh))
+        return pd.DataFrame({"shingle": shs, "doc_id": ids, "set_size": sizes})
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "size_a": [], "size_b": [],
+                                 "c": []})
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].tolist()
+        sz = g["set_size"].tolist()
+        ra, rb, sa, sb = [], [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ra.append(ids[i]); rb.append(ids[j]); sa.append(sz[i]); sb.append(sz[j])
+        return pd.DataFrame({"id_a": ra, "id_b": rb, "size_a": sa, "size_b": sb,
+                             "c": np.ones(len(ra), dtype=np.int64)})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        common = int(g["c"].sum())
+        sa, sb = int(g["size_a"].iloc[0]), int(g["size_b"].iloc[0])
+        if common * 5 < sa + sb - common:
+            return pd.DataFrame({"id_a": [], "id_b": [], "common": [],
+                                 "size_a": [], "size_b": []})
+        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
+                             "common": [common], "size_a": [sa], "size_b": [sb]})
+
+    return (
+        ds.map_batches(shingle_rows, batch_format="pandas")
+        .groupby("shingle")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_SHINGLE_COMMON = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS shingle
+       FROM toks, unnest(range(1, GREATEST(len(t)-1, 2))) AS u(i)
+       WHERE len(t) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT p.id_a, p.id_b, CAST(p.common AS BIGINT) AS common,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.common * 5 >= sa.sz + sb.sz - p.common
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding queries
+
+
+def q_embedding_knn(sf_dir: str):
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qn = 5
+    queries = {
+        "query_id": emb["vec_id"].to_pylist()[:qn],
+        "embedding": emb["embedding"].to_pylist()[:qn],
+    }
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embed.cosine_topk(ds, queries, k=5, concurrency=2).to_pandas()
+    return _round6(out[["query_id", "rank", "vec_id", "cosine"]], ["cosine"])
+
+
+SQL_EMBEDDING_KNN = """
+WITH v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)),
+norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, i, x FROM v WHERE vec_id < 5),
+dot AS (SELECT q.query_id, v.vec_id, SUM(q.x*v.x) AS d
+        FROM q JOIN v ON q.i = v.i GROUP BY 1, 2),
+sim AS (SELECT d.query_id, d.vec_id,
+               d.d/(nq.nrm*nv.nrm) AS cosine,
+               row_number() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.d/(nq.nrm*nv.nrm) DESC, d.vec_id) AS rank
+        FROM dot d JOIN norms nq ON nq.vec_id = d.query_id
+                   JOIN norms nv ON nv.vec_id = d.vec_id
+        WHERE d.vec_id != d.query_id)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM sim WHERE rank <= 5
+"""
+
+
+def q_embedding_near_pairs(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embed.embedding_dup_pairs(ds, threshold=0.4).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64)})
+    return out[["id_a", "id_b"]]
+
+
+SQL_EMBEDDING_PAIRS = """
+WITH v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)),
+norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id),
+dot AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x*b.x) AS d
+        FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+SELECT d.id_a, d.id_b
+FROM dot d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
+WHERE d.d/(na.nrm*nb.nrm) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (groupby/join/sort/window)
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with per-batch partial combine."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-01")]
+        # money -> exact integer units BEFORE summing: per-row products
+        # are bit-identical across engines, so the rounded ints are too,
+        # and integer sums are order-independent (unlike float sums)
+        g = (
+            b.assign(
+                qty_c=np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64),
+                base_c=np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+                disc_c=np.round(
+                    b["l_extendedprice"].to_numpy()
+                    * (1 - b["l_discount"].to_numpy()) * 10000
+                ).astype(np.int64),
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty_c=("qty_c", "sum"), sum_base_c=("base_c", "sum"),
+                 sum_disc_price_e4=("disc_c", "sum"), n=("qty_c", "size"))
+            .reset_index()
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = (
+        parts.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    for c in ["sum_qty_c", "sum_base_c", "sum_disc_price_e4", "n"]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       COUNT(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join (customer dim -> orders fact) + aggregate."""
+    import ray
+
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    class Join:
+        def __init__(self):
+            import ray as _r
+
+            self.lookup = _r.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            seg = b["o_custkey"].map(self.lookup)
+            cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            g = (
+                pd.DataFrame({"c_mktsegment": seg, "price_c": cents})
+                .groupby("c_mktsegment", sort=False)
+                .agg(revenue_c=("price_c", "sum"), n_orders=("price_c", "size"))
+                .reset_index()
+            )
+            return g
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(Join, batch_format="pandas", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    df = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+FROM orders ORDER BY rank LIMIT 10
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user (stream-shaped op)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            hour=b["ts"].dt.floor("h"),
+            value_c=np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        )
+        return (
+            b.groupby(["user_id", "hour"], sort=False)
+            .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value_c", alias_name="sum_value_c"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
+    return out
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_type_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        read_table(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_EVENT_TYPE_COUNTS = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent)
+
+
+def q_image_tile_pipeline(sf_dir: str):
+    """Flagship over the deterministic synthetic image table (the
+    north-rule workload; not derivable from the SQL views)."""
+    from .. import synth
+    from . import flagship
+
+    images = synth.images_dataset(5000, seed=42)
+    polygons = synth.polygons_table(40, seed=42)
+    joined = flagship.tile_and_join(images, polygons, concurrency=2)
+    return joined.select_columns(["image_id", "tile_id", "polygon_id", "part"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2
+    )
+
+
+def q_simhash_signatures(sf_dir: str):
+    return dedup.simhash_signatures(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_ivf_assign(sf_dir: str):
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
+    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embed.ivf_assign(ds, cents).select_columns(["vec_id", "ivf_bucket"])
+
+
+def q_postings_lists(sf_dir: str):
+    return text.postings_lists(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def registry():
+    """name -> (ray_fn, oracle_sql | None)"""
+    return {
+        # geospatial core
+        "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
+        "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
+        "pip_join": (q_pip_join, SQL_PIP_JOIN),
+        "knn_join": (q_knn_join, SQL_KNN_JOIN),
+        "knn_radius_filter": (q_knn_radius_filter, SQL_KNN_RADIUS),
+        "reverse_geocode": (q_reverse_geocode, SQL_REVERSE_GEOCODE),
+        "geofence_transitions": (q_geofence_transitions, SQL_GEOFENCE),
+        "fence_last_positions": (q_fence_last_positions, SQL_LAST_POSITIONS),
+        # text / search
+        "postings_pairs": (q_postings_pairs, SQL_POSTINGS),
+        "term_df": (q_term_df, SQL_TERM_DF),
+        "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
+        "bm25f_topk": (q_bm25f_topk, SQL_BM25F),
+        "ngram_bigrams": (q_ngram_bigrams, SQL_BIGRAMS),
+        "vocab_min_freq": (q_vocab_min_freq, SQL_VOCAB),
+        "quality_signals": (q_quality_signals, SQL_QUALITY),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+        # dedup
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "shingle_common": (_shingle_common_impl, SQL_SHINGLE_COMMON),
+        # embeddings
+        "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
+        "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),
+        # relational coverage
+        "pricing_summary": (q_pricing_summary, SQL_PRICING),
+        "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+        "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+        "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
+        # rows-only (non-SQL-expressible)
+        "image_tile_pipeline": (q_image_tile_pipeline, None),
+        "minhash_pairs": (q_minhash_pairs, None),
+        "simhash_signatures": (q_simhash_signatures, None),
+        "ivf_assign": (q_ivf_assign, None),
+        "postings_lists": (q_postings_lists, None),
+    }

@@ -102,7 +102,9 @@ class FenceEvaluator:
             # per event: the nearest_n fences by center distance
             # (tie-break: lower fence index), like the reference's 3-NN
             # fence probe (geofence.go:65)
-            kth = np.argpartition(d_new, self.nearest_n - 1, axis=1)[:, : self.nearest_n]
+            # stable argsort: ties -> lower fence index, deterministic and
+            # mirrored by the SQL oracle's ORDER BY dist, fence_key
+            kth = np.argsort(d_new, axis=1, kind="stable")[:, : self.nearest_n]
             sel = np.zeros_like(new_in)
             sel[np.arange(B)[:, None], kth] = True
         else:
