@@ -1,0 +1,185 @@
+"""Benchmark entry point (driver contract).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "flagship_rows": R, "flagship_rows_per_sec": ...}
+
+The headline metric is the BASELINE.md workload: read image table ->
+derive phash geo-keys + tile assignment -> cell-keyed PIP join against
+the polygon side table -> partitioned write + lineage manifest.  The
+synthetic image table is generated deterministically ONCE and cached as
+Parquet under /tmp, so the timed run measures the pipeline (read ->
+transform -> join -> write), not the generator.
+
+--scaling: runs the flagship twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus
+scaling efficiency = (t8/t32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+FLAGSHIP_N = int(os.environ.get("GRAFT_FLAGSHIP_N", "1000000"))
+IMAGE_CACHE = f"/tmp/graft_images_n{FLAGSHIP_N}_seed42"
+
+BENCH_QUERIES = [
+    "tile_assign", "tile_histogram", "pip_join", "knn_join",
+    "knn_radius_filter", "reverse_geocode", "geofence_transitions",
+    "postings_pairs", "term_df", "bm25f_topk", "dedup_exact",
+    "embedding_knn", "pricing_summary", "segment_revenue", "events_window",
+]
+
+
+def ensure_image_cache():
+    """Deterministic synthetic image table -> cached Parquet (untimed)."""
+    if os.path.exists(os.path.join(IMAGE_CACHE, "_SUCCESS")):
+        return
+    from go_osm_search_ray import synth
+
+    shutil.rmtree(IMAGE_CACHE, ignore_errors=True)
+    ds = synth.images_dataset(FLAGSHIP_N, seed=42)
+    ds.write_parquet(IMAGE_CACHE)
+    with open(os.path.join(IMAGE_CACHE, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+
+
+def run_flagship(out_dir: str) -> tuple[float, int]:
+    import ray.data as rd
+
+    from go_osm_search_ray import synth
+    from go_osm_search_ray.pipelines import flagship
+
+    polygons = synth.polygons_table(64, seed=42)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    images = rd.read_parquet(IMAGE_CACHE)
+    t0 = time.perf_counter()
+    manifest = flagship.run_flagship(
+        images, polygons, out_dir, concurrency=max(2, NUM_CPUS // 2),
+        input_files=[IMAGE_CACHE],
+    )
+    dt = time.perf_counter() - t0
+    rows = sum(p["row_count"] for p in manifest["partitions"].values())
+    return dt, rows
+
+
+def consume(out) -> None:
+    if hasattr(out, "count"):
+        out.count()
+
+
+def run_queries() -> dict[str, float]:
+    from go_osm_search_ray.pipelines import queries as q
+
+    reg = q.registry()
+    times = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = reg[name]
+        t0 = time.perf_counter()
+        consume(fn(SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_image_cache()
+    # one untimed warm read so the page cache doesn't bias the timing
+    import ray.data as rd
+
+    rd.read_parquet(IMAGE_CACHE, columns=["image_id"]).count()
+
+    flagship_sec, flagship_rows = run_flagship("/tmp/graft_flagship_out")
+    qtimes = run_queries()
+    result = {
+        "metric": "flagship tile-assign + PIP-join + partitioned-write sec "
+                  f"({FLAGSHIP_N} images) + per-query sec at sf dir",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "flagship_rows": flagship_rows,
+        "flagship_rows_per_sec": round(flagship_rows / flagship_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_BENCH_MODE="flagship_only")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main_scaling() -> dict:
+    lo, hi = 8, 32
+    r_lo = run_child(lo)
+    r_hi = run_child(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "flagship rows/sec scaling (fresh processes, same input)",
+        "unit": "sec",
+        "value": r_hi["value"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"rows_per_sec_{lo}": r_lo["flagship_rows_per_sec"],
+        f"rows_per_sec_{hi}": r_hi["flagship_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "flagship_rows": r_hi["flagship_rows"],
+        "num_cpus": hi,
+    }
+
+
+def main_flagship_only() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    ensure_image_cache()
+    import ray.data as rd
+
+    rd.read_parquet(IMAGE_CACHE, columns=["image_id"]).count()
+    sec, rows = run_flagship(f"/tmp/graft_flagship_out_{NUM_CPUS}")
+    ray.shutdown()
+    return {
+        "metric": "flagship sec", "value": round(sec, 3), "unit": "sec",
+        "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "flagship_rows": rows,
+        "flagship_rows_per_sec": round(rows / sec, 1),
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    elif os.environ.get("GRAFT_BENCH_MODE") == "flagship_only":
+        print(json.dumps(main_flagship_only()))
+    else:
+        print(json.dumps(main_bench()))

@@ -42,6 +42,42 @@ def haversine_km(lat1, lon1, lat2, lon2):
     return EARTH_RADIUS_KM * 2.0 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
 
 
+def hav_matrix(lat_a, lon_a, lat_b, lon_b):
+    """Pairwise haversine "a" term as an (len_a, len_b) matrix WITHOUT
+    per-pair trig: cos(x-y) expands to outer products of per-point
+    sin/cos, so the matrix is 4 rank-1 updates (BLAS) + elementwise.
+
+    Monotone in distance: argsort/threshold on `a` == on distance
+    (dist = 2R asin(sqrt(clip(a)))), so candidate selection can happen
+    on `a` and the exact `haversine_km` formula is re-evaluated only on
+    the selected pairs (keeping emitted distances bit-identical to the
+    scalar formula used by the SQL oracles).
+    """
+    la = np.radians(np.asarray(lat_a, dtype=np.float64))
+    lo = np.radians(np.asarray(lon_a, dtype=np.float64))
+    lb = np.radians(np.asarray(lat_b, dtype=np.float64))
+    ob = np.radians(np.asarray(lon_b, dtype=np.float64))
+    # identity: hav(theta) = (1 - cos(theta))/2 and cos(theta) is the
+    # dot product of the 3-D unit vectors — ONE (n,3)@(3,m) BLAS matmul
+    # and two in-place passes, instead of several full-matrix
+    # temporaries (this matters: selection matrices are the hot path)
+    va = np.stack([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)],
+                  axis=1)
+    vb = np.stack([np.cos(lb) * np.cos(ob), np.cos(lb) * np.sin(ob), np.sin(lb)],
+                  axis=0)
+    out = va @ vb
+    out *= -0.5
+    out += 0.5
+    return out
+
+
+def hav_of_km(dist_km):
+    """Haversine "a" value equivalent to a km distance (for thresholds
+    against hav_matrix)."""
+    x = np.sin(np.asarray(dist_km, dtype=np.float64) / (2.0 * EARTH_RADIUS_KM))
+    return x * x
+
+
 def great_circle_midpoint(lat1, lon1, lat2, lon2):
     """Midpoint along the great circle (reference geometry.go:67-80)."""
     lat1 = np.radians(np.asarray(lat1, dtype=np.float64))

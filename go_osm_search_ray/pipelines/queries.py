@@ -251,7 +251,7 @@ def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
 def q_knn_join(sf_dir: str):
     out = knn.knn_join(
         orders_points(sf_dir), supplier_queries(sf_dir, k=5), concurrency=2
-    ).to_pandas()
+    )
     return _round6(out[["query_id", "rank", "point_id", "dist_km"]], ["dist_km"])
 
 
@@ -281,7 +281,7 @@ def q_knn_radius_filter(sf_dir: str):
         supplier_queries(sf_dir, k=10, offset=2, radius=3000.0, feature="O"),
         tag_col="status",
         concurrency=2,
-    ).to_pandas()
+    )
     return _round6(out[["query_id", "rank", "point_id", "dist_km"]], ["dist_km"])
 
 
@@ -886,15 +886,9 @@ def q_events_window(sf_dir: str):
             .reset_index()
         )
 
-    from ray.data.aggregate import Sum
+    from ..stages.agg import two_phase_agg
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("n", alias_name="n"),
-                   Sum("sum_value_c", alias_name="sum_value_c"))
-        .to_pandas()
-    )
+    out = two_phase_agg(ds, partial, ["user_id", "hour"], ["n", "sum_value_c"])
     out["n"] = out["n"].astype(np.int64)
     out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
     return out

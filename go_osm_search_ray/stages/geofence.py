@@ -89,36 +89,42 @@ class FenceEvaluator:
 
         nf = len(self.keys)
         B = len(lat)
-        # E x F matrices
-        d_new = geo.haversine_km(lat[:, None], lon[:, None],
-                                 self.f_lat[None, :], self.f_lon[None, :])
-        new_in = d_new <= self.f_r[None, :]
-        has_old = olat != SENTINEL
-        d_old = geo.haversine_km(olat[:, None], olon[:, None],
-                                 self.f_lat[None, :], self.f_lon[None, :])
-        old_in = (d_old <= self.f_r[None, :]) & has_old[:, None]
-
-        if self.nearest_n is not None and self.nearest_n < nf:
-            # per event: the nearest_n fences by center distance
-            # (tie-break: lower fence index), like the reference's 3-NN
-            # fence probe (geofence.go:65)
-            # stable argsort: ties -> lower fence index, deterministic and
-            # mirrored by the SQL oracle's ORDER BY dist, fence_key
-            kth = np.argsort(d_new, axis=1, kind="stable")[:, : self.nearest_n]
-            sel = np.zeros_like(new_in)
-            sel[np.arange(B)[:, None], kth] = True
+        n = min(self.nearest_n if self.nearest_n is not None else nf, nf)
+        # nearest-n selection on the BLAS hav-"a" matrix (distance-
+        # monotone, no per-pair trig — the reference's 3-NN fence probe,
+        # geofence.go:65); stable argsort so ties pick the lower fence
+        # index, mirrored by the SQL oracle's ORDER BY dist, fence_id.
+        # Exact per-pair math then runs only on the selected (E, n).
+        if n < nf:
+            # cache-sized event chunks; only the MEMBERSHIP of the n
+            # nearest fences matters (each selected fence is evaluated
+            # independently), so argpartition per chunk suffices
+            chunk = max(1, 131072 // max(nf, 1))
+            parts = []
+            for e0 in range(0, B, chunk):
+                a = geo.hav_matrix(lat[e0 : e0 + chunk], lon[e0 : e0 + chunk],
+                                   self.f_lat, self.f_lon)
+                parts.append(np.argpartition(a, n - 1, axis=1)[:, :n])
+            kth = np.concatenate(parts, axis=0)
         else:
-            sel = np.ones_like(new_in)
+            kth = np.broadcast_to(np.arange(nf), (B, nf)).copy()
 
+        f_lat, f_lon, f_r = self.f_lat[kth], self.f_lon[kth], self.f_r[kth]
+        d_new = geo.haversine_km(lat[:, None], lon[:, None], f_lat, f_lon)
+        new_in = d_new <= f_r
+        has_old = olat != SENTINEL
+        d_old = geo.haversine_km(olat[:, None], olon[:, None], f_lat, f_lon)
+        old_in = (d_old <= f_r) & has_old[:, None]
         cross = geo.line_circle_intersect(
-            self.f_lat[None, :], self.f_lon[None, :], self.f_r[None, :],
+            f_lat, f_lon, f_r,
             olat[:, None], olon[:, None], lat[:, None], lon[:, None],
         )
 
         out = {"point_id": [], "seq": [], "fence_key": [], "status": []}
 
         def emit(mask, status):
-            e, f = np.nonzero(mask & sel)
+            e, j = np.nonzero(mask)
+            f = kth[e, j]
             out["point_id"].extend(pid[i] for i in e)
             out["seq"].extend(seq[e].tolist())
             out["fence_key"].extend(self.keys[f].tolist())

@@ -63,28 +63,57 @@ class KNNPartial:
             if self.tag_col and self.tag_col in batch.column_names
             else None
         )
-        out_q, out_p, out_d = [], [], []
-        # Q x B distance matrix (queries chunked implicitly by loop rows)
-        d = geo.haversine_km(
-            self.q_lat[:, None], self.q_lon[:, None], p_lat[None, :], p_lon[None, :]
+        # Selection runs on the haversine "a" matrix (distance-monotone)
+        # computed in CACHE-SIZED point chunks — a full Q x B float64
+        # matrix would thrash memory bandwidth; each Q x CHUNK tile stays
+        # in L2/L3 and a running per-query top-kmax accumulator merges
+        # tiles.  The exact haversine formula runs only on the final
+        # (Q x kmax) winners, so emitted distances stay bit-identical to
+        # the scalar formula the SQL oracles use.  The partial keeps
+        # kmax = max(k+offset) for EVERY query; the driver-side finalize
+        # re-sorts and trims per query.
+        big = np.float64(2.0)  # sentinel > any valid hav value (<= 1)
+        Q = len(self.q_id)
+        kmax = min(int(self.q_keep.max()), len(p_lat))
+        CHUNK = max(kmax, 131072 // max(Q, 1))  # ~Q*CHUNK*8B tile ~ 1 MiB
+        has_r = ~np.isnan(self.q_radius)
+        thr = np.where(has_r, geo.hav_of_km(np.where(has_r, self.q_radius, 1.0)),
+                       np.inf)
+        feat_rows = {}
+        if tags is not None:
+            for f in set(x for x in self.q_feature if x is not None):
+                feat_rows[f] = np.array([x == f for x in self.q_feature])
+        acc_a = np.full((Q, 0), big)
+        acc_i = np.zeros((Q, 0), dtype=np.int64)
+        for s0 in range(0, len(p_lat), CHUNK):
+            s1 = min(s0 + CHUNK, len(p_lat))
+            a = geo.hav_matrix(self.q_lat, self.q_lon, p_lat[s0:s1], p_lon[s0:s1])
+            for f, rows in feat_rows.items():
+                a[np.ix_(rows, tags[s0:s1] != f)] = big
+            if has_r.any():
+                np.putmask(a, a > thr[:, None], big)
+            kc = min(kmax, a.shape[1])
+            t = np.argpartition(a, kc - 1, axis=1)[:, :kc]
+            acc_a = np.concatenate([acc_a, np.take_along_axis(a, t, axis=1)], axis=1)
+            acc_i = np.concatenate([acc_i, t + s0], axis=1)
+            if acc_a.shape[1] > 4 * kmax:
+                t2 = np.argpartition(acc_a, kmax - 1, axis=1)[:, :kmax]
+                acc_a = np.take_along_axis(acc_a, t2, axis=1)
+                acc_i = np.take_along_axis(acc_i, t2, axis=1)
+        if acc_a.shape[1] > kmax:
+            t2 = np.argpartition(acc_a, kmax - 1, axis=1)[:, :kmax]
+            acc_a = np.take_along_axis(acc_a, t2, axis=1)
+            acc_i = np.take_along_axis(acc_i, t2, axis=1)
+        valid = acc_a < big
+        dist = geo.haversine_km(
+            self.q_lat[:, None], self.q_lon[:, None],
+            p_lat[acc_i], p_lon[acc_i],
         )
-        for qi in range(len(self.q_id)):
-            dist = d[qi]
-            mask = np.ones(len(dist), dtype=bool)
-            if not np.isnan(self.q_radius[qi]):
-                mask &= dist <= self.q_radius[qi]
-            if self.q_feature[qi] is not None and tags is not None:
-                mask &= tags == self.q_feature[qi]
-            idx = np.nonzero(mask)[0]
-            if len(idx) == 0:
-                continue
-            keep = min(int(self.q_keep[qi]), len(idx))
-            sub = dist[idx]
-            top = idx[np.argpartition(sub, keep - 1)[:keep]]
-            out_q.append(np.full(len(top), self.q_id[qi]))
-            out_p.append(p_id[top])
-            out_d.append(dist[top])
-        if not out_q:
+        m = valid.ravel()
+        out_q = [np.repeat(self.q_id, acc_a.shape[1])[m]]
+        out_p = [p_id[acc_i.ravel()][m]]
+        out_d = [dist.ravel()[m]]
+        if not m.any():
             return pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),
@@ -108,7 +137,10 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
     """points x queries -> (query_id, rank, point_id, dist_km), exact kNN.
 
     `queries` columns: query_id, lat, lon, k [, offset, radius_km, feature].
-    rank is 1-based AFTER the offset slice.
+    rank is 1-based AFTER the offset slice.  Returns a pandas DataFrame:
+    the result is inherently small (Q x k), and the per-block partial
+    top-k already collapsed the corpus, so the final merge is a
+    driver-side combine of partials — no shuffle.
     """
     import ray
 
@@ -126,17 +158,20 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
     )
 
     qdf = queries.to_pandas().set_index("query_id")
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        qid = g["query_id"].iloc[0]
+    pdf = partials.to_pandas()
+    out = []
+    for qid, g in pdf.groupby("query_id", sort=True):
         k = int(qdf.loc[qid, "k"])
         offset = int(qdf.loc[qid, "offset"]) if "offset" in qdf.columns else 0
         g = g.sort_values(["dist_km", point_id_col], kind="mergesort")
         g = g.iloc[offset : offset + k].copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+        out.append(g)
+    if not out:
+        return pd.DataFrame(
+            {"query_id": [], point_id_col: [], "dist_km": [], "rank": []}
+        )
+    return pd.concat(out, ignore_index=True)
 
 
 # ---------------------------------------------------------------------------

@@ -96,15 +96,18 @@ def doc_lengths(batch: pd.DataFrame, id_col="doc_id", text_col="text") -> pd.Dat
     )
 
 
-def term_df(ds, id_col="doc_id", text_col="text"):
-    """term -> document frequency, skew-safe (distinct pairs per batch
-    are the partial; groupby counts them)."""
-    from ray.data.aggregate import Count
+def term_df(ds, id_col="doc_id", text_col="text", combine="driver"):
+    """term -> document frequency.  Partial = per-batch distinct-doc
+    counts per term (each doc lives in exactly one batch, so partial DFs
+    sum exactly); final combine is tiny (bounded by vocab size)."""
+    from .agg import two_phase_agg
 
-    pairs = ds.map_batches(
-        lambda b: postings_pairs(b, id_col, text_col), batch_format="pandas"
-    )
-    return pairs.groupby("term").aggregate(Count(alias_name="df"))
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = postings_pairs(batch, id_col, text_col)
+        vc = p["term"].value_counts()
+        return pd.DataFrame({"term": vc.index, "df": vc.to_numpy(np.int64)})
+
+    return two_phase_agg(ds, partial, ["term"], ["df"], combine=combine)
 
 
 def postings_lists(ds, id_col="doc_id", text_col="text"):
@@ -266,29 +269,33 @@ def ngram_pairs(batch: pd.DataFrame, n: int, id_col="doc_id", text_col="text",
     )
 
 
-def ngram_counts(ds, n: int, id_col="doc_id", text_col="text", pad: bool = True):
-    """Distributed n-gram counting: per-batch partial dict -> small sum."""
-    from ray.data.aggregate import Sum
+def ngram_counts(ds, n: int, id_col="doc_id", text_col="text", pad: bool = True,
+                 combine="driver"):
+    """Distributed n-gram counting: per-batch partial dict -> small sum
+    (result bounded by distinct n-grams; see stages/agg.py)."""
+    from .agg import two_phase_agg
 
-    parts = ds.map_batches(
-        lambda b: ngram_pairs(b, n, id_col, text_col, pad), batch_format="pandas"
-    )
-    return parts.groupby("ngram").aggregate(Sum("partial", alias_name="n"))
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = ngram_pairs(batch, n, id_col, text_col, pad)
+        return p.rename(columns={"partial": "n"})
+
+    return two_phase_agg(ds, partial, ["ngram"], ["n"], combine=combine)
 
 
-def vocab_with_min_freq(ds, min_freq: int = 2, id_col="doc_id", text_col="text"):
+def vocab_with_min_freq(ds, min_freq: int = 2, id_col="doc_id", text_col="text",
+                        combine="driver"):
     """A6: terms with collection frequency >= min_freq (others -> <UNK>)."""
-    from ray.data.aggregate import Sum
+    from .agg import two_phase_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         e = tokenize_series(batch[text_col]).explode().dropna()
         vc = e.value_counts()
-        return pd.DataFrame({"term": vc.index, "partial": vc.to_numpy(np.int64)})
+        return pd.DataFrame({"term": vc.index, "freq": vc.to_numpy(np.int64)})
 
-    counts = ds.map_batches(partial, batch_format="pandas").groupby("term").aggregate(
-        Sum("partial", alias_name="freq")
-    )
-    return counts.filter(expr=f"freq >= {min_freq}")
+    counts = two_phase_agg(ds, partial, ["term"], ["freq"], combine=combine)
+    if combine == "shuffle":
+        return counts.filter(expr=f"freq >= {min_freq}")
+    return counts[counts["freq"] >= min_freq].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -100,11 +100,17 @@ def partial_tile_counts(batch: pa.Table, key_col: str = "tile_id") -> pa.Table:
     )
 
 
-def salted_tile_counts(ds, key_col: str = "tile_id"):
-    """Skew-safe exact per-tile counts: partial combine -> small groupby."""
-    from ray.data.aggregate import Sum
+def salted_tile_counts(ds, key_col: str = "tile_id", combine="driver"):
+    """Skew-safe exact per-tile counts: partial per-batch combine (which
+    collapses hot cells inside each block) -> small final combine
+    (bounded by cell count; see stages/agg.py for the combine modes)."""
+    from .agg import two_phase_agg
 
-    partials = ds.map_batches(
-        lambda b: partial_tile_counts(b, key_col), batch_format="pyarrow"
-    )
-    return partials.groupby(key_col).aggregate(Sum("partial", alias_name="n"))
+    def partial(b):
+        vc = b[key_col].value_counts()
+        import pandas as pd
+
+        return pd.DataFrame({key_col: vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    return two_phase_agg(ds, partial, [key_col], ["n"], combine=combine)

@@ -227,6 +227,33 @@ def fences_table(n_fences: int = 20, seed: int = 44) -> pa.Table:
     )
 
 
+def spell_errors_lines(words: list[str] | None = None, seed: int = 46) -> list[str]:
+    """Deterministic "correct: err1, err2" spell-error corpus in the
+    reference's file format (spell-errors.txt; parser
+    spell_corrector.go:57-107).  Typos: deletion, adjacent swap,
+    substitution, insertion."""
+    rng = np.random.default_rng(seed)
+    words = [w for w in (words or WORD_POOL) if len(w) >= 3]
+    lines = []
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    for w in words:
+        errs = []
+        i = int(rng.integers(0, len(w)))
+        errs.append(w[:i] + w[i + 1 :])  # deletion
+        if len(w) >= 2:
+            j = int(rng.integers(0, len(w) - 1))
+            errs.append(w[:j] + w[j + 1] + w[j] + w[j + 2 :])  # transposition
+        k = int(rng.integers(0, len(w)))
+        c = alphabet[int(rng.integers(0, 26))]
+        errs.append(w[:k] + c + w[k + 1 :])  # substitution
+        m = int(rng.integers(0, len(w) + 1))
+        c2 = alphabet[int(rng.integers(0, 26))]
+        errs.append(w[:m] + c2 + w[m:])  # insertion
+        errs = [e for e in dict.fromkeys(errs) if e and e != w]
+        lines.append(f"{w}: {', '.join(errs)}")
+    return lines
+
+
 def fence_events_table(fences: pa.Table, n_points: int = 10, steps: int = 30,
                        seed: int = 45) -> pa.Table:
     """T5 trajectories scripted through/around the fences so every

@@ -63,10 +63,8 @@ class TestKNN:
             }
         )
         ds = rd.from_arrow(points).repartition(8)
-        got = (
-            knn.knn_join(ds, queries, concurrency=2, batch_size=512)
-            .to_pandas()
-            .sort_values(["query_id", "rank"])
+        got = knn.knn_join(ds, queries, concurrency=2, batch_size=512).sort_values(
+            ["query_id", "rank"]
         )
         want = pd.DataFrame(
             brute_knn(points, queries),
@@ -93,7 +91,6 @@ class TestKNN:
         ds = rd.from_arrow(points).repartition(6)
         got = (
             knn.knn_join(ds, queries, tag_col="tag", concurrency=2, batch_size=777)
-            .to_pandas()
             .sort_values(["query_id", "rank"])[
                 ["query_id", "rank", "point_id", "dist_km"]
             ]
@@ -137,7 +134,6 @@ class TestKNN:
         )
         got = (
             knn.knn_join(rd.from_arrow(points), queries, concurrency=1)
-            .to_pandas()
             .sort_values("rank")["point_id"]
             .tolist()
         )

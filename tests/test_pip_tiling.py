@@ -86,7 +86,7 @@ class TestPipelines:
         ds = rd.from_arrow(images).map_batches(
             tiling.derive_phash_latlon, batch_format="pyarrow"
         ).map_batches(tiling.assign_tiles(7), batch_format="pyarrow")
-        got = tiling.salted_tile_counts(ds).to_pandas().set_index("tile_id")["n"]
+        got = tiling.salted_tile_counts(ds).set_index("tile_id")["n"]
 
         lat, lon = geo.phash_to_latlon(images["phash"].to_numpy())
         tiles, counts = np.unique(geo.tile_id(lat, lon, 7), return_counts=True)
