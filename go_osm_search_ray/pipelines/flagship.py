@@ -22,8 +22,11 @@ PARTITION_RES = 3  # 8x8 = 64 output partitions (coarse parent of tile_id)
 
 
 def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES,
-                  concurrency=4):
-    """images Dataset -> + (lat, lon, tile_id, part, polygon_id, region meta)."""
+                  concurrency=None, include_ahash: bool = False):
+    """images Dataset -> + (lat, lon, tile_id, part, polygon_id, region
+    meta [, ahash]).  include_ahash adds the decode -> perceptual-hash
+    stage (stages/images.py) — the multimodal leg of the headline
+    pipeline; it also proves the payload decodes after every stage."""
 
     def derive(batch: pa.Table) -> pa.Table:
         batch = tiling.derive_phash_latlon(batch)
@@ -31,14 +34,21 @@ def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES
         part = geo.tile_parent(batch["tile_id"].to_numpy(), res, PARTITION_RES)
         return batch.append_column("part", pa.array(part, pa.int64()))
 
-    ds = images_ds.map_batches(derive, batch_format="pyarrow")
+    ds = images_ds
+    if include_ahash:
+        from ..stages.images import AverageHash
+
+        ds = ds.map_batches(AverageHash(), batch_format="pyarrow", batch_size=2048)
+    ds = ds.map_batches(derive, batch_format="pyarrow")
     return pip.pip_join(ds, polygons, tile_res=res, concurrency=concurrency)
 
 
 def run_flagship(images_ds, polygons: pa.Table, out_dir: str,
-                 res: int = geo.DEFAULT_TILE_RES, concurrency=4,
-                 input_files: list[str] | None = None) -> dict:
-    joined = tile_and_join(images_ds, polygons, res=res, concurrency=concurrency)
+                 res: int = geo.DEFAULT_TILE_RES, concurrency=None,
+                 input_files: list[str] | None = None,
+                 include_ahash: bool = False) -> dict:
+    joined = tile_and_join(images_ds, polygons, res=res, concurrency=concurrency,
+                           include_ahash=include_ahash)
     return manifest.write_partitioned(joined, out_dir, "part",
                                       input_files=input_files)
 

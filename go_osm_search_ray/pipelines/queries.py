@@ -914,8 +914,77 @@ def q_event_type_counts(sf_dir: str):
 SQL_EVENT_TYPE_COUNTS = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"
 
 
+def q_boolean_and(sf_dir: str):
+    """J5/D1 posting intersection: docs containing ALL query terms."""
+    from . import search
+
+    return search.boolean_and(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        ["hash", "scan"],
+    )
+
+
+SQL_BOOLEAN_AND = f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOK}, 'hash') AND list_contains({TOK}, 'scan')
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent)
+
+
+def _corrector(sf_dir: str):
+    from .. import synth
+    from ..stages import spell as spell_stage
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return spell_stage.build_spell_corrector(
+        docs, synth.spell_errors_lines(), min_freq=2
+    )
+
+
+def q_search_fulltext(sf_dir: str):
+    """Q1 end-to-end: misspelled queries -> spell-corrected BM25F top-k."""
+    from . import search
+
+    corrector = _corrector(sf_dir)
+    factory = lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    qs = pd.DataFrame(
+        {"query_id": [0, 1], "query": ["hsah merge", "scann tabel"]}
+    )
+    out = search.full_text_search(factory, qs, corrector, k=10)
+    return _round6(out, ["score"])
+
+
+def q_autocomplete(sf_dir: str):
+    """Q2 end-to-end: prefix autocomplete -> candidate queries -> fan-in."""
+    from . import search
+
+    corrector = _corrector(sf_dir)
+    factory = lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    qs = pd.DataFrame({"query_id": [0], "query": ["hash mer"]})
+    out = search.autocomplete(factory, qs, corrector, k=10)
+    return _round6(out, ["score"])
+
+
+def q_image_decode_stats(sf_dir: str):
+    """Multimodal actor-pool stage over the synthetic image table."""
+    from .. import synth
+    from ..stages import images
+
+    ds = synth.images_dataset(2000, seed=42)
+    return images.decode_stats(ds, concurrency=2)
+
+
+def q_image_ahash(sf_dir: str):
+    from .. import synth
+    from ..stages import images
+
+    ds = synth.images_dataset(2000, seed=42)
+    return images.average_hash(ds, concurrency=2).select_columns(
+        ["image_id", "ahash"]
+    )
 
 
 def q_image_tile_pipeline(sf_dir: str):
@@ -994,10 +1063,15 @@ def registry():
         "top_orders": (q_top_orders, SQL_TOP_ORDERS),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
         "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
+        "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
         # rows-only (non-SQL-expressible)
         "image_tile_pipeline": (q_image_tile_pipeline, None),
         "minhash_pairs": (q_minhash_pairs, None),
         "simhash_signatures": (q_simhash_signatures, None),
         "ivf_assign": (q_ivf_assign, None),
         "postings_lists": (q_postings_lists, None),
+        "search_fulltext": (q_search_fulltext, None),
+        "autocomplete": (q_autocomplete, None),
+        "image_decode_stats": (q_image_decode_stats, None),
+        "image_ahash": (q_image_ahash, None),
     }

@@ -1,0 +1,127 @@
+"""End-to-end query pipelines (reference Q1/Q2/Q8 + J5/J6/K1/K2).
+
+FreeFormQuery (searcher.go:97-205) re-expressed Ray-Data-first:
+
+    queries Dataset -> SpellActor pool (tokenize -> vocab check -> edit
+    candidates -> LM+noisy argmax)  [Q1 front half]
+    -> per corrected query: two-pass BM25F over the documents Dataset
+       (stats scan + score scan, stages/text.py)  [A8+Q5]
+    -> global sort/limit page [K1] -> hydration join by doc_id [J6]
+
+Autocomplete (searcher.go:207-400): last term prefix-matched, top-3
+candidate queries by LM+edit prob [K5], each scored, fan-in sort [K2].
+
+Boolean AND (boolean_query.go:43-167): posting-list intersection as a
+distributed multiset groupby (docs whose distinct-term hit count equals
+the number of query terms) [J5/D1].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages import spell as spell_stage
+from ..stages import text as text_stage
+
+
+def hydrate(doc_ids: list, docs_ds, id_col: str = "doc_id"):
+    """J6: top-k ids -> full rows (broadcast the tiny id list, filter)."""
+    ids = set(int(i) for i in doc_ids)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[id_col].isin(ids)]
+
+    return docs_ds.map_batches(pick, batch_format="pandas").to_pandas()
+
+
+def full_text_search(docs_ds_factory, queries: pd.DataFrame,
+                     corrector: spell_stage.SpellCorrector,
+                     k: int = 10, scoring: str = "bm25f",
+                     hydrate_results: bool = False):
+    """Q1 for a batch of queries.  `docs_ds_factory()` returns a fresh
+    documents Dataset per scan (two scans per query: stats + score).
+
+    queries: DataFrame (query_id, query [, top_k, offset]).
+    Returns (query_id, corrected, rank, doc_id, score).
+    """
+    out = []
+    scorer = {
+        "bm25f": text_stage.bm25f_score,
+        "bm25plus": text_stage.bm25plus_score,
+        "tfidf": text_stage.tfidf_score,
+    }[scoring]
+    for row in queries.itertuples():
+        tokens = list(text_stage.tokenize_series(pd.Series([row.query]))[0])
+        corrected = corrector.correct(tokens)
+        topk = int(getattr(row, "top_k", k) or k)
+        offset = int(getattr(row, "offset", 0) or 0)
+        scored = scorer(docs_ds_factory(), corrected)
+        page = text_stage.top_k(scored, k=topk, offset=offset)
+        page = page.assign(query_id=row.query_id, corrected=" ".join(corrected))
+        out.append(page[["query_id", "corrected", "rank", "doc_id", "score"]])
+    res = (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["query_id", "corrected", "rank", "doc_id", "score"])
+    )
+    return res
+
+
+def autocomplete(docs_ds_factory, queries: pd.DataFrame,
+                 corrector: spell_stage.SpellCorrector, k: int = 10):
+    """Q2: top-3 candidate queries per input, each BM25F-scored, fan-in
+    sorted globally per query (K2).  Returns
+    (query_id, candidate_query, rank, doc_id, score)."""
+    out = []
+    for row in queries.itertuples():
+        tokens = list(text_stage.tokenize_series(pd.Series([row.query]))[0])
+        if not tokens:
+            continue
+        candidates = corrector.autocomplete(tokens)
+        scored_all = []
+        for cand in candidates:
+            scored = text_stage.bm25f_score(docs_ds_factory(), cand).to_pandas()
+            scored["candidate_query"] = " ".join(cand)
+            scored_all.append(scored)
+        if not scored_all:
+            continue
+        fan_in = pd.concat(scored_all, ignore_index=True)
+        fan_in = fan_in.sort_values(["score", "doc_id"],
+                                    ascending=[False, True], kind="mergesort").head(k)
+        fan_in = fan_in.assign(
+            query_id=row.query_id,
+            rank=np.arange(1, len(fan_in) + 1, dtype=np.int64),
+        )
+        out.append(fan_in[["query_id", "candidate_query", "rank", "doc_id", "score"]])
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(
+            columns=["query_id", "candidate_query", "rank", "doc_id", "score"]
+        )
+    )
+
+
+def boolean_and(docs_ds, terms: list[str], id_col="doc_id", text_col="text"):
+    """J5/D1: docs containing ALL terms — distinct (term, doc) pairs
+    filtered to the query terms, then hit-count == len(terms).
+
+    The reference intersects sorted posting lists pairwise
+    (boolean_query.go:150-167); the multiset-count groupby is the
+    shuffle-native equivalent with identical results.
+    """
+    tset = {t for t in terms}
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        p = text_stage.postings_pairs(b, id_col, text_col)
+        p = p[p["term"].isin(tset)]
+        vc = p[id_col].value_counts()
+        return pd.DataFrame({id_col: vc.index, "hits": vc.to_numpy(np.int64)})
+
+    from ..stages.agg import two_phase_agg
+
+    counts = two_phase_agg(docs_ds, pairs, [id_col], ["hits"])
+    if len(counts) == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
+    return counts[counts["hits"] == len(tset)][[id_col]].reset_index(drop=True)

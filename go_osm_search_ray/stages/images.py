@@ -1,0 +1,159 @@
+"""Multimodal (image) operators over the binary `bytes` column.
+
+The input_hint table carries images as opaque binary + typed metadata
+(image_id, bytes, w, h, fmt, caption, phash).  These stages are the
+actor-pool `map_batches` plumbing a training-data pipeline needs:
+
+- DecodeStats   — decode -> per-image pixel statistics + integrity check
+- Resize        — decode -> nearest-neighbor resize -> re-encode
+- AverageHash   — decode -> grayscale 8x8 average hash (a real phash)
+- EmbedImage    — decode -> tiny deterministic feature vector (pooled
+                  grid means) standing in for a vision model embedding
+
+Decoding uses the repo's real PNG codec and the clearly-marked fake
+lossy codec (go_osm_search_ray.codecs).  `ExternalCodec` marks where a
+real image library would slot in (PIL/cv2 are not in this container):
+it raises NotImplementedError for unknown formats — the Ray-side
+schema, batch shapes, and actor signatures are real and tested.
+
+All stages preserve the per-row invariant: `caption` (and any column
+not being transformed) rides through untouched; Resize is the only
+stage that rewrites `bytes` (and re-stamps w/h/fmt accordingly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs
+
+
+def _decode(data: bytes, fmt: str) -> np.ndarray:
+    try:
+        return codecs.decode(data, fmt)
+    except NotImplementedError:
+        raise NotImplementedError(
+            f"fmt {fmt!r} needs an external codec (PIL/libjpeg) — "
+            "not available in this container; see stages/images.py"
+        )
+
+
+class DecodeStats:
+    """Per-image pixel stats; `decode_ok` flags undecodable payloads."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds, ok = [], [], []
+        for b, f in zip(batch["bytes"], batch["fmt"]):
+            try:
+                img = _decode(b.as_py(), f.as_py())
+                means.append(float(img.mean()))
+                stds.append(float(img.std()))
+                ok.append(True)
+            except (ValueError, NotImplementedError):
+                means.append(0.0)
+                stds.append(0.0)
+                ok.append(False)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "mean_pixel": pa.array(means, pa.float64()),
+                "std_pixel": pa.array(stds, pa.float64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[np.ix_(ys, xs)]
+
+
+class Resize:
+    """Decode -> nearest-neighbor resize -> re-encode (always PNG out,
+    lossless, so downstream invariants are exact)."""
+
+    def __init__(self, w: int, h: int):
+        self.w, self.h = w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = []
+        for b, f in zip(batch["bytes"], batch["fmt"]):
+            img = _decode(b.as_py(), f.as_py())
+            blobs.append(codecs.png_encode(_resize_nn(img, self.w, self.h)))
+        n = batch.num_rows
+        batch = batch.drop_columns(["bytes", "w", "h", "fmt"])
+        return (
+            batch.append_column("bytes", pa.array(blobs, pa.binary()))
+            .append_column("w", pa.array([self.w] * n, pa.int32()))
+            .append_column("h", pa.array([self.h] * n, pa.int32()))
+            .append_column("fmt", pa.array(["png"] * n, pa.string()))
+        )
+
+
+class AverageHash:
+    """8x8 grayscale average hash -> int64 column `ahash` (a real
+    perceptual hash; near-dup images collide)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, (b, f) in enumerate(zip(batch["bytes"], batch["fmt"])):
+            img = _decode(b.as_py(), f.as_py())
+            gray = img.astype(np.float64).mean(axis=2)
+            small = _resize_nn(gray[:, :, None], 8, 8)[:, :, 0]
+            bits = (small > small.mean()).ravel()
+            val = np.uint64(0)
+            for k in np.nonzero(bits)[0]:
+                val |= np.uint64(1) << np.uint64(k)
+            out[i] = int(val.astype(np.int64))
+        return batch.append_column("ahash", pa.array(out, pa.int64()))
+
+
+class EmbedImage:
+    """Deterministic stand-in for batched vision-model inference: 4x4
+    grid-pooled RGB means -> 48-dim float32 vector.  Swap `__call__`'s
+    body for a real model (loaded once HERE in __init__) outside the
+    sandbox."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = []
+        g = self.grid
+        for b, f in zip(batch["bytes"], batch["fmt"]):
+            img = _decode(b.as_py(), f.as_py()).astype(np.float32)
+            h, w = img.shape[:2]
+            pooled = np.zeros((g, g, 3), np.float32)
+            for yi in range(g):
+                for xi in range(g):
+                    ys = slice(yi * h // g, max(yi * h // g + 1, (yi + 1) * h // g))
+                    xs = slice(xi * w // g, max(xi * w // g + 1, (xi + 1) * w // g))
+                    pooled[yi, xi] = img[ys, xs].mean(axis=(0, 1))
+            vecs.append((pooled.ravel() / 255.0).tolist())
+        return batch.append_column(
+            "embedding", pa.array(vecs, pa.list_(pa.float32()))
+        )
+
+
+def decode_stats(images_ds, concurrency=4, batch_size: int = 1024):
+    return images_ds.map_batches(DecodeStats, batch_format="pyarrow",
+                                 batch_size=batch_size, concurrency=concurrency)
+
+
+def resize(images_ds, w: int, h: int, concurrency=4, batch_size: int = 512):
+    return images_ds.map_batches(
+        Resize, fn_constructor_kwargs={"w": w, "h": h},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def average_hash(images_ds, concurrency=4, batch_size: int = 1024):
+    return images_ds.map_batches(AverageHash, batch_format="pyarrow",
+                                 batch_size=batch_size, concurrency=concurrency)
+
+
+def embed_images(images_ds, concurrency=4, batch_size: int = 512):
+    return images_ds.map_batches(EmbedImage, batch_format="pyarrow",
+                                 batch_size=batch_size, concurrency=concurrency)

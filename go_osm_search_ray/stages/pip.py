@@ -135,14 +135,63 @@ class PIPJoiner:
         return batch
 
 
+# per-worker-process compile cache for task-mode PIP (a stateless task
+# pool reuses worker processes, so each process compiles the broadcast
+# polygon set once — actor-pool semantics without pool-startup latency)
+_COMPILE_CACHE: dict[str, "CompiledPolygons"] = {}
+
+
+def _compiled_from_ref(ref, tile_res):
+    import ray
+
+    key = f"{ref.hex()}/{tile_res}"
+    c = _COMPILE_CACHE.get(key)
+    if c is None:
+        c = CompiledPolygons(ray.get(ref), tile_res=tile_res)
+        _COMPILE_CACHE.clear()  # hold at most one compiled set per process
+        _COMPILE_CACHE[key] = c
+    return c
+
+
 def pip_join(ds, polygons: pa.Table, tile_res: int | None = None,
-             concurrency=4, batch_size: int = 8192, attach_meta: bool = True,
+             concurrency=None, batch_size: int = 8192, attach_meta: bool = True,
              lat_col: str = "lat", lon_col: str = "lon",
-             tile_col: str | None = "tile_id"):
-    """points Dataset -> points + (polygon_id, region meta...) columns."""
+             tile_col: str | None = "tile_id", mode: str = "auto"):
+    """points Dataset -> points + (polygon_id, region meta...) columns.
+
+    mode="tasks" (default for small polygon sets): stateless task pool
+    with a per-process compile cache — elastic, no actor-pool startup.
+    mode="actors": explicit actor pool (use for big polygon sets where
+    compile cost must be strictly once per worker and memory pinned).
+    """
     import ray
 
     ref = ray.put(polygons)
+    if mode == "auto":
+        mode = "tasks" if polygons.num_rows <= 10_000 else "actors"
+    if mode == "tasks":
+        meta_cols = None
+
+        def fn(batch: pa.Table) -> pa.Table:
+            compiled = _compiled_from_ref(ref, tile_res)
+            lat = batch[lat_col].to_numpy()
+            lon = batch[lon_col].to_numpy()
+            tiles = (
+                batch[tile_col].to_numpy()
+                if tile_col and tile_col in batch.column_names
+                else None
+            )
+            pid = compiled.first_hit(lat, lon, tiles)
+            batch = batch.append_column("polygon_id", pa.array(pid, pa.int64()))
+            if attach_meta and compiled.meta_cols:
+                hi = compiled.hit_index(pid)
+                for c in compiled.meta_cols:
+                    vals = compiled.meta[c]
+                    col = [vals[i] if i >= 0 else None for i in hi]
+                    batch = batch.append_column(c, pa.array(col, pa.string()))
+            return batch
+
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(
         PIPJoiner,
         fn_constructor_kwargs={
@@ -155,5 +204,5 @@ def pip_join(ds, polygons: pa.Table, tile_res: int | None = None,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or 4,
     )

@@ -28,16 +28,28 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     ds.write_parquet(out_dir, partition_cols=[partition_col])
     wall_ms = (time.perf_counter() - t0) * 1000.0
 
-    parts = {}
+    # per-file footer reads are IO-bound and there can be
+    # tasks x partitions of them — collect with a thread pool
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
+    files = []
     for d in sorted(glob.glob(os.path.join(out_dir, f"{partition_col}=*"))):
         pid = d.split("=", 1)[1]
-        rows = nbytes = 0
         for f in glob.glob(os.path.join(d, "*.parquet")):
-            rows += pq.read_metadata(f).num_rows
-            nbytes += os.path.getsize(f)
-        parts[pid] = {"row_count": rows, "bytes": nbytes}
+            files.append((pid, f))
+
+    def meta(item):
+        pid, f = item
+        return pid, pq.read_metadata(f).num_rows, os.path.getsize(f)
+
+    parts: dict[str, dict] = {}
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for pid, rows, nbytes in ex.map(meta, files):
+            p = parts.setdefault(pid, {"row_count": 0, "bytes": 0})
+            p["row_count"] += rows
+            p["bytes"] += nbytes
 
     manifest = {
         "partition_col": partition_col,
