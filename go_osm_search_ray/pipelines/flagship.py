@@ -18,7 +18,9 @@ from .. import geo, synth
 from ..stages import pip, tiling
 from ..state import manifest
 
-PARTITION_RES = 3  # 8x8 = 64 output partitions (coarse parent of tile_id)
+PARTITION_RES = 2  # 4x4 = 16 output partitions (coarse parent of tile_id);
+# hive writes emit files-per-task x partitions, so keep this modest —
+# resume granularity stays per-partition either way
 
 
 def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES,
@@ -46,11 +48,13 @@ def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES
 def run_flagship(images_ds, polygons: pa.Table, out_dir: str,
                  res: int = geo.DEFAULT_TILE_RES, concurrency=None,
                  input_files: list[str] | None = None,
-                 include_ahash: bool = False) -> dict:
+                 include_ahash: bool = False,
+                 collect_stats: str = "full") -> dict:
     joined = tile_and_join(images_ds, polygons, res=res, concurrency=concurrency,
                            include_ahash=include_ahash)
     return manifest.write_partitioned(joined, out_dir, "part",
-                                      input_files=input_files)
+                                      input_files=input_files,
+                                      collect_stats=collect_stats)
 
 
 def run_flagship_synth(n_images: int, out_dir: str, seed: int = 42,

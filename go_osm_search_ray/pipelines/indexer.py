@@ -1,0 +1,144 @@
+"""Batch index build — the reference's indexer CLI re-expressed
+(cmd/indexing/main.go:28-131, SURVEY.md §3.1).
+
+Where the reference writes custom binary/gob/msgpack artifacts
+(segment files + heap merge + bbolt doc store + FST + ngram gob), this
+engine writes PLAIN PARQUET DATASETS, one per logical artifact:
+
+    out_dir/
+      postings/      (term, postings: list<int64>, df)      [S5-S7, A1-A2]
+      doc_stats/     (doc_id, n_tokens)                      [A3-A4]
+      ngrams_{1..4}/ (ngram, n)                              [S13, A5]
+      vocab/         (term, freq)                            [A6, ST4 input]
+      meta.json      (docs_count, avg_doc_len, total_words,
+                      spell_errors)                          [S15]
+      _manifest.json (lineage + stage wall times)
+
+`load_index` rebuilds the serving-side state (SpellCorrector + stats)
+from the artifacts — the reference's server boot (searcher.go:37-73).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages import spell as spell_stage
+from ..stages import text as text_stage
+
+
+def build_index(docs_ds_factory, out_dir: str,
+                spell_error_lines: list[str] | None = None,
+                id_col: str = "doc_id", text_col: str = "text") -> dict:
+    """docs Dataset factory -> index artifact directory.  Returns the
+    manifest.  Each artifact write is timed (throughput metrics)."""
+    os.makedirs(out_dir, exist_ok=True)
+    stages: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                stages[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    with timed("postings"):
+        plists = text_stage.postings_lists(docs_ds_factory(), id_col, text_col)
+
+        def add_df(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["df"] = b["postings"].map(len).astype(np.int64)
+            return b
+
+        plists.map_batches(add_df, batch_format="pandas").write_parquet(
+            os.path.join(out_dir, "postings")
+        )
+
+    with timed("doc_stats"):
+        docs_ds_factory().map_batches(
+            lambda b: text_stage.doc_lengths(b, id_col, text_col),
+            batch_format="pandas",
+        ).write_parquet(os.path.join(out_dir, "doc_stats"))
+
+    with timed("vocab"):
+        vocab = text_stage.vocab_with_min_freq(docs_ds_factory(), 2,
+                                               text_col=text_col)
+        pq.write_table(pa.Table.from_pandas(vocab, preserve_index=False),
+                       os.path.join(out_dir, "vocab.parquet"))
+
+    with timed("ngrams"):
+        vocab_set = set(vocab["term"])
+        lm = spell_stage.NGramLM.build(docs_ds_factory(), vocab_set,
+                                       text_col=text_col)
+        for n in range(1, 5):
+            t = pa.table(
+                {
+                    "ngram": pa.array(list(lm.counts[n].keys()), pa.string()),
+                    "n": pa.array(list(lm.counts[n].values()), pa.int64()),
+                }
+            )
+            pq.write_table(t, os.path.join(out_dir, f"ngrams_{n}.parquet"))
+
+    with timed("meta"):
+        stats_files = os.path.join(out_dir, "doc_stats")
+        ds = pq.read_table(stats_files)
+        meta = {
+            "docs_count": int(ds.num_rows),
+            "avg_doc_len": float(np.mean(ds["n_tokens"].to_numpy()))
+            if ds.num_rows
+            else 0.0,
+            "total_words": lm.total,
+            "spell_errors": spell_error_lines or [],
+        }
+        with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    manifest = {"stages": stages, "completed_at": time.time()}
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+class LoadedIndex:
+    """Server-boot state rebuilt from artifacts (searcher.go:37-73)."""
+
+    def __init__(self, out_dir: str):
+        self.dir = out_dir
+        with open(os.path.join(out_dir, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self.vocab = pq.read_table(os.path.join(out_dir, "vocab.parquet")).to_pandas()
+        counts = {}
+        for n in range(1, 5):
+            t = pq.read_table(os.path.join(out_dir, f"ngrams_{n}.parquet"))
+            counts[n] = dict(zip(t["ngram"].to_pylist(), t["n"].to_pylist()))
+        lm = spell_stage.NGramLM(counts, self.meta["total_words"])
+        noisy = spell_stage.NoisyChannel(self.meta.get("spell_errors", []))
+        self.corrector = spell_stage.SpellCorrector(
+            list(self.vocab["term"]), lm, noisy
+        )
+
+    def postings(self, terms: list[str]) -> pd.DataFrame:
+        """J4: semi-join of query terms against the postings dataset
+        (filter pushdown on term)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        d = pads.dataset(os.path.join(self.dir, "postings"))
+        return d.to_table(filter=pc.field("term").isin(terms)).to_pandas()
+
+    def get_docs(self, sf_docs_path: str, doc_ids: list[int]) -> pd.DataFrame:
+        """S12/J6: doc hydration by id with parquet filter pushdown."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        d = pads.dataset(sf_docs_path)
+        return d.to_table(filter=pc.field("doc_id").isin(doc_ids)).to_pandas()

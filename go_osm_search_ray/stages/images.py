@@ -94,20 +94,29 @@ class Resize:
 
 class AverageHash:
     """8x8 grayscale average hash -> int64 column `ahash` (a real
-    perceptual hash; near-dup images collide)."""
+    perceptual hash; near-dup images collide).
+
+    Decode is per-image (zlib); everything after is vectorized across
+    the batch: same-sized images are stacked once, grayscale/threshold/
+    bit-packing run as whole-batch numpy ops."""
+
+    _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.zeros(batch.num_rows, dtype=np.int64)
-        for i, (b, f) in enumerate(zip(batch["bytes"], batch["fmt"])):
-            img = _decode(b.as_py(), f.as_py())
-            gray = img.astype(np.float64).mean(axis=2)
-            small = _resize_nn(gray[:, :, None], 8, 8)[:, :, 0]
-            bits = (small > small.mean()).ravel()
-            val = np.uint64(0)
-            for k in np.nonzero(bits)[0]:
-                val |= np.uint64(1) << np.uint64(k)
-            out[i] = int(val.astype(np.int64))
-        return batch.append_column("ahash", pa.array(out, pa.int64()))
+        n = batch.num_rows
+        smalls = np.empty((n, 8, 8), dtype=np.float32)
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        for i in range(n):
+            img = _decode(blobs[i], fmts[i])
+            gray = img.mean(axis=2, dtype=np.float32)
+            smalls[i] = _resize_nn(gray[:, :, None], 8, 8)[:, :, 0]
+        flat = smalls.reshape(n, 64)
+        bits = flat > flat.mean(axis=1, keepdims=True)
+        vals = (bits.astype(np.uint64) * self._POW2[None, :]).sum(axis=1)
+        return batch.append_column(
+            "ahash", pa.array(vals.astype(np.int64), pa.int64())
+        )
 
 
 class EmbedImage:

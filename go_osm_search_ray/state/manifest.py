@@ -21,8 +21,16 @@ import time
 
 
 def write_partitioned(ds, out_dir: str, partition_col: str,
-                      input_files: list[str] | None = None) -> dict:
-    """write_parquet(partition_cols=[col]) + manifest.  Returns manifest."""
+                      input_files: list[str] | None = None,
+                      collect_stats: str = "full") -> dict:
+    """write_parquet(partition_cols=[col]) + manifest.  Returns manifest.
+
+    collect_stats="full": per-partition row counts from parquet footers
+    (thread-pooled; the authoritative resume record).
+    collect_stats="light": file sizes only, row_count recorded as -1 —
+    for throughput benches where footer latency matters and the caller
+    already knows the row count.
+    """
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
     ds.write_parquet(out_dir, partition_cols=[partition_col])
@@ -42,13 +50,17 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
 
     def meta(item):
         pid, f = item
+        if collect_stats == "light":
+            return pid, -1, os.path.getsize(f)
         return pid, pq.read_metadata(f).num_rows, os.path.getsize(f)
 
     parts: dict[str, dict] = {}
-    with ThreadPoolExecutor(max_workers=16) as ex:
+    with ThreadPoolExecutor(max_workers=32) as ex:
         for pid, rows, nbytes in ex.map(meta, files):
             p = parts.setdefault(pid, {"row_count": 0, "bytes": 0})
-            p["row_count"] += rows
+            p["row_count"] = (
+                -1 if rows < 0 else max(p["row_count"], 0) + rows
+            )
             p["bytes"] += nbytes
 
     manifest = {

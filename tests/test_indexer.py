@@ -1,0 +1,61 @@
+"""Index artifact build + load round-trip (reference indexer CLI, §3.1)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from go_osm_search_ray import synth
+from go_osm_search_ray.pipelines import indexer
+from go_osm_search_ray.stages import text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIndexer:
+    def test_build_and_load(self, tmp_path):
+        import ray.data as rd
+
+        out = str(tmp_path / "idx")
+        factory = lambda: rd.read_parquet(f"{SF}/documents.parquet",
+                                          columns=["doc_id", "text"])
+        m = indexer.build_index(factory, out,
+                                spell_error_lines=synth.spell_errors_lines())
+        assert set(m["stages"]) == {"postings", "doc_stats", "vocab", "ngrams",
+                                    "meta"}
+        assert all(v >= 0 for v in m["stages"].values())
+        assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+        idx = indexer.LoadedIndex(out)
+        assert idx.meta["docs_count"] == 500
+
+        # J4 semi-join: postings for specific terms with filter pushdown
+        p = idx.postings(["hash", "scan"])
+        assert set(p["term"]) == {"hash", "scan"}
+        # postings agree with a fresh distributed computation
+        df = text.term_df(factory()).set_index("term")["df"]
+        for r in p.itertuples():
+            assert len(r.postings) == df[r.term] == r.df
+            assert list(r.postings) == sorted(r.postings)
+
+        # corrector rebuilt from artifacts corrects a typo
+        got = idx.corrector.correct(["hsah"])
+        assert got == ["hash"]
+
+        # S12 doc hydration with filter pushdown
+        docs = idx.get_docs(f"{SF}/documents.parquet", [3, 7])
+        assert set(docs["doc_id"]) == {3, 7}
+
+    def test_meta_stats(self, tmp_path):
+        import ray.data as rd
+
+        out = str(tmp_path / "idx2")
+        factory = lambda: rd.read_parquet(f"{SF}/documents.parquet",
+                                          columns=["doc_id", "text"])
+        indexer.build_index(factory, out)
+        idx = indexer.LoadedIndex(out)
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        toks = text.tokenize_series(docs["text"])
+        assert abs(idx.meta["avg_doc_len"] - toks.str.len().mean()) < 1e-9
