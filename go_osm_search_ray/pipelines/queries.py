@@ -914,6 +914,92 @@ def q_event_type_counts(sf_dir: str):
 SQL_EVENT_TYPE_COUNTS = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"
 
 
+def q_knn_cell(sf_dir: str):
+    """J8 scale path: cell-partitioned kNN (both sides shuffled on the
+    grid cell instead of broadcasting the query side)."""
+    sup = supplier_queries(sf_dir, k=5, radius=1500.0)
+    import ray.data as rd
+
+    queries_ds = rd.from_arrow(sup)
+    out = knn.knn_cell_join(
+        orders_points(sf_dir), queries_ds, radius_km=1500.0, k=5, res=5
+    ).to_pandas()
+    out = out[["query_id", "rank", "point_id", "dist_km"]]
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["point_id"] = out["point_id"].astype(np.int64)
+    return _round6(out, ["dist_km"])
+
+
+SQL_KNN_CELL = _sql_knn(
+    f"WHERE {sql_haversine('q.lat', 'q.lon', 'p.lat', 'p.lon')} <= 1500.0",
+    5, 0, "s_suppkey*13+7",
+)
+
+
+def q_full_address(sf_dir: str):
+    """M12 full-address assembly: nearest street (J2) + containing
+    region (J3) composed into an address string."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = tiling.derive_key_latlon("c_custkey")(b)
+        b = tiling.assign_tiles(TILE_RES)(b)
+        return b.rename_columns(["point_id", "lat", "lon", "tile_id"])
+
+    pts = cust.map_batches(derive, batch_format="pyarrow")
+    with_street = knn.reverse_geocode(pts, nation_segments(sf_dir), concurrency=2)
+    with_region = pip.pip_join(with_street, nation_rects(sf_dir),
+                               tile_res=TILE_RES, attach_meta=False)
+
+    def assemble(b: pa.Table) -> pa.Table:
+        addr = [
+            f"street-{s}, region-{p}"
+            for s, p in zip(b["street_id"].to_pylist(), b["polygon_id"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "point_id": b["point_id"],
+                "street_id": b["street_id"],
+                "polygon_id": b["polygon_id"],
+                "full_address": pa.array(addr, pa.string()),
+            }
+        )
+
+    return with_region.map_batches(assemble, batch_format="pyarrow")
+
+
+SQL_FULL_ADDRESS = f"""
+WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS point_id,
+                  {sql_lat('c_custkey')} AS lat, {sql_lon('c_custkey')} AS lon
+           FROM customer),
+s AS (SELECT CAST(n_nationkey AS BIGINT) AS street_id,
+             {sql_lat('n_nationkey*31+11')} AS alat, {sql_lon('n_nationkey*31+11')} AS alon,
+             {sql_lat('n_nationkey*31+12')} AS blat, {sql_lon('n_nationkey*31+12')} AS blon
+      FROM nation),
+pr AS (SELECT p.point_id, s.street_id, p.lat, p.lon,
+              s.alat + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
+                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
+                       * (s.blat-s.alat) AS plat,
+              s.alon + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
+                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
+                       * (s.blon-s.alon) AS plon
+       FROM p CROSS JOIN s),
+nearest AS (SELECT point_id, street_id, lat, lon,
+                   row_number() OVER (PARTITION BY point_id
+                                      ORDER BY {sql_haversine('lat', 'lon', 'plat', 'plon')}, street_id) AS rn
+            FROM pr),
+r AS ({SQL_NATION_RECTS}),
+reg AS (SELECT n.point_id, n.street_id, MIN(r.polygon_id) AS polygon_id
+        FROM nearest n JOIN r ON n.lat BETWEEN r.lat0 AND r.lat1
+                              AND n.lon BETWEEN r.lon0 AND r.lon1
+        WHERE n.rn = 1 GROUP BY 1, 2)
+SELECT point_id, street_id, polygon_id,
+       'street-' || CAST(street_id AS VARCHAR) || ', region-' ||
+       CAST(polygon_id AS VARCHAR) AS full_address
+FROM reg
+"""
+
+
 def q_boolean_and(sf_dir: str):
     """J5/D1 posting intersection: docs containing ALL query terms."""
     from . import search
@@ -1064,6 +1150,8 @@ def registry():
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
         "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
         "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
+        "knn_cell": (q_knn_cell, SQL_KNN_CELL),
+        "full_address": (q_full_address, SQL_FULL_ADDRESS),
         # rows-only (non-SQL-expressible)
         "image_tile_pipeline": (q_image_tile_pipeline, None),
         "minhash_pairs": (q_minhash_pairs, None),

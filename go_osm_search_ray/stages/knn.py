@@ -174,6 +174,101 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
     return pd.concat(out, ignore_index=True)
 
 
+def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
+                  res: int = 6, point_id_col: str = "point_id",
+                  batch_size: int = 4096):
+    """Cell-partitioned kNN for LARGE query sides (millions of queries).
+
+    The broadcast plan above needs the query table to fit in every
+    worker; when it doesn't, co-locate by grid cell instead
+    (the reference's R-tree traversal becomes data layout, SURVEY §7.3):
+
+      1. queries explode to (cell, ...) over their radius ring
+         (`geo.tile_ring`; ring radius from `cells_for_radius_km`)
+      2. points keyed by their own cell
+      3. groupby(cell) joins the two sides per cell bucket; each bucket
+         runs a local brute top-k
+      4. groupby(query_id) merges bucket partials -> exact top-k within
+         `radius_km`
+
+    Semantics = kNN with a mandatory radius bound (rtree.go:656-682);
+    unbounded kNN needs iterative ring expansion on top of this.
+    Returns (query_id, rank, point_id, dist_km).
+    """
+    import pandas as pd
+
+    def explode_queries(b: pd.DataFrame) -> pd.DataFrame:
+        lat = b["lat"].to_numpy()
+        lon = b["lon"].to_numpy()
+        tiles = geo.tile_id(lat, lon, res)
+        rows = {"cell": [], "query_id": [], "q_lat": [], "q_lon": []}
+        n_axis = 1 << res
+        for i in range(len(b)):
+            r = min(geo.cells_for_radius_km(lat[i], res, radius_km), n_axis // 2)
+            ring = np.unique(geo.tile_ring(np.array([tiles[i]]), res, r)[0])
+            rows["cell"].extend(ring.tolist())
+            rows["query_id"].extend([b["query_id"].iloc[i]] * len(ring))
+            rows["q_lat"].extend([lat[i]] * len(ring))
+            rows["q_lon"].extend([lon[i]] * len(ring))
+        return pd.DataFrame(rows)
+
+    def key_points(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[point_id_col, "lat", "lon"]].copy()
+        out["cell"] = geo.tile_id(b["lat"].to_numpy(), b["lon"].to_numpy(), res)
+        return out
+
+    q_cells = queries_ds.map_batches(explode_queries, batch_format="pandas")
+    p_cells = points_ds.map_batches(key_points, batch_format="pandas")
+    # tag and union the two sides so one shuffle co-locates both
+    q_tag = q_cells.map_batches(
+        lambda b: b.assign(side="q", **{point_id_col: -1}), batch_format="pandas"
+    )
+    p_tag = p_cells.map_batches(
+        lambda b: b.assign(side="p", query_id=-1, q_lat=0.0, q_lon=0.0),
+        batch_format="pandas",
+    )
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["side"] == "q"]
+        ps = g[g["side"] == "p"]
+        if len(qs) == 0 or len(ps) == 0:
+            return pd.DataFrame({"query_id": [], point_id_col: [], "dist_km": []})
+        d = geo.haversine_km(
+            qs["q_lat"].to_numpy()[:, None], qs["q_lon"].to_numpy()[:, None],
+            ps["lat"].to_numpy()[None, :], ps["lon"].to_numpy()[None, :],
+        )
+        out_q, out_p, out_d = [], [], []
+        pid = ps[point_id_col].to_numpy()
+        for i in range(len(qs)):
+            mask = d[i] <= radius_km
+            idx = np.nonzero(mask)[0]
+            keep = min(k, len(idx))
+            if keep == 0:
+                continue
+            top = idx[np.argpartition(d[i][idx], keep - 1)[:keep]]
+            out_q.extend([qs["query_id"].iloc[i]] * len(top))
+            out_p.extend(pid[top].tolist())
+            out_d.extend(d[i][top].tolist())
+        return pd.DataFrame({"query_id": out_q, point_id_col: out_p,
+                             "dist_km": out_d})
+
+    partials = (
+        q_tag.union(p_tag)
+        .groupby("cell")
+        .map_groups(local_topk, batch_format="pandas")
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        # a point can reach a query via several ring cells -> dedup
+        g = g.drop_duplicates(subset=[point_id_col])
+        g = g.sort_values(["dist_km", point_id_col], kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # reverse geocoding: nearest polyline via point->segment projection
 

@@ -296,3 +296,39 @@ class TestGeofence:
         # only compare events belonging to epoch 2
         want = [r for r in want if r[1] in set(e2["seq"].to_pylist())]
         assert got_rows == sorted(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKNNCellJoin:
+    def test_matches_brute_radius_knn(self):
+        import ray.data as rd
+
+        points = make_points(3000, seed=50)
+        rng = np.random.default_rng(51)
+        qn = 30
+        queries = pa.table(
+            {
+                "query_id": pa.array(np.arange(qn), pa.int64()),
+                "lat": pa.array(rng.uniform(-60, 60, qn)),
+                "lon": pa.array(rng.uniform(-170, 170, qn)),
+                "k": pa.array([5] * qn, pa.int64()),
+                "radius_km": pa.array([1500.0] * qn),
+            }
+        )
+        got = (
+            knn.knn_cell_join(
+                rd.from_arrow(points).repartition(4),
+                rd.from_arrow(queries).repartition(2),
+                radius_km=1500.0, k=5, res=5,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            brute_knn(points, queries),
+            columns=["query_id", "rank", "point_id", "dist_km"],
+        )
+        got = got[["query_id", "rank", "point_id", "dist_km"]]
+        got["query_id"] = got["query_id"].astype(np.int64)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
