@@ -57,6 +57,51 @@ def run_flagship(images_ds, polygons: pa.Table, out_dir: str,
                                       collect_stats=collect_stats)
 
 
+def resume_flagship(images_ds, polygons: pa.Table, out_dir: str,
+                    res: int = geo.DEFAULT_TILE_RES,
+                    include_ahash: bool = False) -> dict:
+    """Resume a partially-completed run: recompute ONLY the output
+    partitions missing from the manifest (anti-join on the partition
+    key), leaving finished partition directories untouched.
+
+    The partition key is derived from each row's phash, so the filter
+    happens right after the (cheap) key derivation — unfinished rows
+    never reach the expensive stages.
+    """
+    import numpy as np
+
+    from ..state import manifest as M
+
+    done = {int(k) for k in M.completed_partitions(out_dir)}
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        lat, lon = geo.phash_to_latlon(batch["phash"].to_numpy())
+        part = geo.tile_parent(geo.tile_id(lat, lon, res), res, PARTITION_RES)
+        return batch.append_column("part0", pa.array(part, pa.int64()))
+
+    remaining = images_ds.map_batches(part_of, batch_format="pyarrow").map_batches(
+        lambda b: b.filter(
+            pa.array(~np.isin(b["part0"].to_numpy(), list(done) or [-1]))
+        ).drop_columns(["part0"]),
+        batch_format="pyarrow",
+    )
+    joined = tile_and_join(remaining, polygons, res=res,
+                           include_ahash=include_ahash)
+    new_m = M.write_partitioned(joined, out_dir, "part")
+    # merge with the prior manifest (prior partitions stay authoritative)
+    old = M.load_manifest(out_dir)
+    if old is not None:
+        for pid, rec in old.get("partitions", {}).items():
+            if int(pid) in done:
+                new_m["partitions"][pid] = rec
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+        json.dump(new_m, fh, indent=1)
+    return new_m
+
+
 def run_flagship_synth(n_images: int, out_dir: str, seed: int = 42,
                        concurrency=4) -> dict:
     images = synth.images_dataset(n_images, seed=seed)

@@ -133,3 +133,48 @@ class TestPipelines:
             img_src = codecs.decode(b, f)
             img_out = codecs.decode(r["bytes"], r["fmt"])
             assert codecs.psnr(img_src, img_out) == float("inf")  # byte-identical
+
+    def test_flagship_partition_resume(self, tmp_path):
+        """Delete partitions from a finished run; resume recomputes only
+        the missing ones and leaves finished files untouched."""
+        import glob
+        import json
+        import os
+        import shutil
+
+        import ray.data as rd
+        from go_osm_search_ray.pipelines import flagship
+        from go_osm_search_ray.state import manifest
+
+        out = str(tmp_path / "resume")
+        images = synth.images_batch(np.arange(3000, dtype=np.uint64))
+        polygons = synth.polygons_table(30, seed=42)
+        m1 = flagship.run_flagship(rd.from_arrow(images), polygons, out)
+        total = sum(p["row_count"] for p in m1["partitions"].values())
+        assert total == 3000
+
+        # simulate a partial failure: drop 3 partitions + manifest entries
+        victims = sorted(m1["partitions"])[:3]
+        for v in victims:
+            shutil.rmtree(os.path.join(out, f"part={v}"))
+        m = manifest.load_manifest(out)
+        for v in victims:
+            del m["partitions"][v]
+        with open(os.path.join(out, "_manifest.json"), "w") as fh:
+            json.dump(m, fh)
+
+        survivor = sorted(m["partitions"])[0]
+        mtimes_before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(out, f"part={survivor}", "*.parquet"))
+        }
+
+        m2 = flagship.resume_flagship(rd.from_arrow(images), polygons, out)
+        assert set(m2["partitions"]) == set(m1["partitions"])
+        assert sum(p["row_count"] for p in m2["partitions"].values()) == 3000
+        # finished partition files untouched
+        for f, t in mtimes_before.items():
+            assert os.path.getmtime(f) == t
+        # full readback equals a fresh run
+        back = rd.read_parquet(out).count()
+        assert back == 3000
