@@ -95,7 +95,7 @@ def run_flagship(out_dir: str) -> tuple[float, int]:
     t0 = time.perf_counter()
     manifest = flagship.run_flagship(
         images, polygons, out_dir, input_files=[IMAGE_CACHE],
-        include_ahash=True, collect_stats="light",
+        include_ahash=True, carry_payload=False, collect_stats="light",
     )
     dt = time.perf_counter() - t0
     assert len(manifest["partitions"]) > 0

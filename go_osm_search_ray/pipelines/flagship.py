@@ -24,7 +24,8 @@ PARTITION_RES = 2  # 4x4 = 16 output partitions (coarse parent of tile_id);
 
 
 def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES,
-                  concurrency=None, include_ahash: bool = False):
+                  concurrency=None, include_ahash: bool = False,
+                  carry_payload: bool = True):
     """images Dataset -> + (lat, lon, tile_id, part, polygon_id, region
     meta [, ahash]).  include_ahash adds the decode -> perceptual-hash
     stage (stages/images.py) — the multimodal leg of the headline
@@ -41,6 +42,17 @@ def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES
         from ..stages.images import AverageHash
 
         ds = ds.map_batches(AverageHash(), batch_format="pyarrow", batch_size=2048)
+    if not carry_payload:
+        # slim the rows once the payload has been consumed (decoded/
+        # hashed): the tile-assignment output references image_id, the
+        # payload stays in the source table (re-join by id when needed)
+        # — wide binary columns never ride through downstream stages
+        drop = [c for c in ("bytes", "w", "h", "fmt") if c]
+
+        def slim(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns([c for c in drop if c in batch.column_names])
+
+        ds = ds.map_batches(slim, batch_format="pyarrow")
     ds = ds.map_batches(derive, batch_format="pyarrow")
     return pip.pip_join(ds, polygons, tile_res=res, concurrency=concurrency)
 
@@ -49,9 +61,11 @@ def run_flagship(images_ds, polygons: pa.Table, out_dir: str,
                  res: int = geo.DEFAULT_TILE_RES, concurrency=None,
                  input_files: list[str] | None = None,
                  include_ahash: bool = False,
+                 carry_payload: bool = True,
                  collect_stats: str = "full") -> dict:
     joined = tile_and_join(images_ds, polygons, res=res, concurrency=concurrency,
-                           include_ahash=include_ahash)
+                           include_ahash=include_ahash,
+                           carry_payload=carry_payload)
     return manifest.write_partitioned(joined, out_dir, "part",
                                       input_files=input_files,
                                       collect_stats=collect_stats)

@@ -498,6 +498,50 @@ SELECT rank, doc_id, round(score, 6) AS score FROM ranked WHERE rank <= 10
 SQL_BM25F = _sql_bm25f()
 
 
+def q_bm25plus_topk(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text.top_k(text.bm25plus_score(ds, BM25_TERMS), k=10)
+    return _round6(out[["rank", "doc_id", "score"]], ["score"])
+
+
+def _sql_bm25plus() -> str:
+    """Mirror of text.bm25plus_score incl. the reference's (K1+1)+tf
+    numerator (scoring.go:163-166).  K1=1.2, B=0.98, DELTA=1."""
+    per_term = []
+    for t in BM25_TERMS:
+        per_term.append(f"""
+          (CASE WHEN s.df_{t} > 0 AND d.tf_{t} > 0 THEN
+             (log10(s.n_docs+1)-log10(s.df_{t}))
+             * (1.0 + ((1.2+1)+d.tf_{t})
+                      /(1.2*(1-0.98+0.98*d.dl/s.avg_doc)+d.tf_{t}))
+           ELSE 0.0 END)""")
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(tok, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(tok, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = " + ".join(per_term)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tok FROM documents),
+d AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) AS dl, {tf_cols} FROM toks),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(CAST(len(tok) AS DOUBLE))/COUNT(*) AS avg_doc,
+             {df_cols}
+      FROM toks),
+scored AS (SELECT d.doc_id, ({score}) AS score FROM d CROSS JOIN s),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM scored WHERE score != 0.0)
+SELECT rank, doc_id, round(score, 6) AS score FROM ranked WHERE rank <= 10
+"""
+
+
+SQL_BM25PLUS = _sql_bm25plus()
+
+
 def q_ngram_bigrams(sf_dir: str):
     return text.ngram_counts(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]), 2
@@ -1132,6 +1176,7 @@ def registry():
         "term_df": (q_term_df, SQL_TERM_DF),
         "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
         "bm25f_topk": (q_bm25f_topk, SQL_BM25F),
+        "bm25plus_topk": (q_bm25plus_topk, SQL_BM25PLUS),
         "ngram_bigrams": (q_ngram_bigrams, SQL_BIGRAMS),
         "vocab_min_freq": (q_vocab_min_freq, SQL_VOCAB),
         "quality_signals": (q_quality_signals, SQL_QUALITY),

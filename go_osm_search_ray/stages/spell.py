@@ -169,16 +169,11 @@ class NGramLM:
             return batch
 
         replaced = docs_ds.map_batches(replace_oov, batch_format="pandas")
-        counts = {}
-        total = 0
-        for n in range(1, 5):
-            # NOTE: tokens of the replaced text: UNK_TOKEN survives the
-            # tokenizer because we re-join with spaces and '<unk>'
-            # tokenizes to 'unk'; normalize by using 'unk' consistently
-            df = text_stage.ngram_counts(replaced, n, text_col=text_col)
-            counts[n] = dict(zip(df["ngram"], df["n"].astype(int)))
-            if n == 1:
-                total = int(df["n"].sum())
+        # NOTE: '<unk>' re-tokenizes to 'unk' after the space re-join —
+        # consistent within the counts, which is all the LM needs.
+        # All four orders come from ONE scan (ngram_counts_multi).
+        counts, total = text_stage.ngram_counts_multi(replaced, 4,
+                                                      text_col=text_col)
         return NGramLM(counts, total)
 
     def estimate(self, next_word: str, prev: tuple[str, ...], n: int) -> float:

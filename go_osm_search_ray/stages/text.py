@@ -282,6 +282,41 @@ def ngram_counts(ds, n: int, id_col="doc_id", text_col="text", pad: bool = True,
     return two_phase_agg(ds, partial, ["ngram"], ["n"], combine=combine)
 
 
+def ngram_counts_multi(ds, n_max: int = 4, text_col="text", pad: bool = True,
+                       combine="driver"):
+    """All n-gram orders 1..n_max in ONE scan (the reference runs 4
+    parallel goroutines over the same data, ngram_lm.go:345-370; one
+    pass emitting (n, ngram) partials is strictly cheaper).  Returns
+    {n: {ngram: count}} plus the total unigram mass."""
+    from .agg import two_phase_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize_series(batch[text_col])
+        rows: dict[tuple[int, str], int] = {}
+        for ws in toks:
+            base = list(ws)
+            for n in range(1, n_max + 1):
+                seq = ([START_TOKEN] * n + base + [END_TOKEN]) if pad else base
+                for i in range(len(seq) - n + 1):
+                    k = (n, " ".join(seq[i : i + n]))
+                    rows[k] = rows.get(k, 0) + 1
+        ns = np.fromiter((k[0] for k in rows), dtype=np.int64, count=len(rows))
+        return pd.DataFrame(
+            {"n_order": ns, "ngram": [k[1] for k in rows],
+             "cnt": np.fromiter(rows.values(), dtype=np.int64, count=len(rows))}
+        )
+
+    out = two_phase_agg(ds, partial, ["n_order", "ngram"], ["cnt"],
+                        combine=combine)
+    if combine == "shuffle":
+        out = out.to_pandas()
+    counts: dict[int, dict[str, int]] = {n: {} for n in range(1, n_max + 1)}
+    for r in out.itertuples():
+        counts[int(r.n_order)][r.ngram] = int(r.cnt)
+    total = sum(counts[1].values())
+    return counts, total
+
+
 def vocab_with_min_freq(ds, min_freq: int = 2, id_col="doc_id", text_col="text",
                         combine="driver"):
     """A6: terms with collection frequency >= min_freq (others -> <UNK>)."""

@@ -178,3 +178,55 @@ class TestPipelines:
         # full readback equals a fresh run
         back = rd.read_parquet(out).count()
         assert back == 3000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewHandling:
+    def test_salted_group_work_matches_unsalted(self):
+        """Hot-cell salting: per-(tile, salt) partials combine to the
+        same result as a straight per-tile computation."""
+        import pandas as pd
+        import ray.data as rd
+        from go_osm_search_ray.stages.agg import two_phase_agg
+
+        images = synth.images_batch(np.arange(20000, dtype=np.uint64))
+        ds = rd.from_arrow(images).map_batches(
+            tiling.derive_phash_latlon, batch_format="pyarrow"
+        ).map_batches(tiling.assign_tiles(7), batch_format="pyarrow")
+        ds = ds.map_batches(
+            tiling.add_salt(8, key_col="tile_id", id_col="image_id"),
+            batch_format="pyarrow",
+        )
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(["tile_id", "salt"], sort=False).agg(
+                n=("phash", "size")
+            ).reset_index()
+            return g
+
+        salted = two_phase_agg(ds, partial, ["tile_id", "salt"], ["n"])
+        combined = salted.groupby("tile_id", as_index=False)["n"].sum()
+
+        lat, lon = geo.phash_to_latlon(images["phash"].to_numpy())
+        tiles, counts = np.unique(geo.tile_id(lat, lon, 7), return_counts=True)
+        got = combined.set_index("tile_id")["n"]
+        assert len(got) == len(tiles)
+        for t, c in zip(tiles, counts):
+            assert got[t] == c
+        # the salt actually split the hot cells
+        hot = tiles[np.argmax(counts)]
+        assert (salted["tile_id"] == hot).sum() > 1
+
+    def test_two_phase_shuffle_mode_matches_driver_mode(self):
+        import ray.data as rd
+        from go_osm_search_ray.stages import text
+
+        ds1 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        ds2 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        drv = text.term_df(ds1, combine="driver").set_index("term")["df"]
+        shf = (
+            text.term_df(ds2, combine="shuffle")
+            .to_pandas()
+            .set_index("term")["df"]
+        )
+        assert drv.to_dict() == shf.to_dict()
