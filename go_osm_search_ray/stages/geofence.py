@@ -165,6 +165,75 @@ def fence_transitions(events_ds, fences: pa.Table, nearest_n: int | None = 3,
     )
 
 
+class FenceIndex:
+    """Named fence sets + per-point state — the reference's FenceIndex
+    API surface (fence_index.go:26-95) over Arrow tables instead of an
+    in-process map + bbolt.
+
+    add_fence/delete_fence manage named sets; add_fence_point upserts a
+    circle by key (reference Add re-inserts on duplicate,
+    geofence.go:49-61); search evaluates an event batch against a set
+    and advances the state checkpoint.
+    """
+
+    def __init__(self):
+        self._fences: dict[str, pd.DataFrame] = {}
+        self._state: pa.Table | None = None
+
+    def add_fence(self, name: str):
+        if name in self._fences:
+            raise ValueError(f"fence {name!r} already exists")
+        self._fences[name] = pd.DataFrame(
+            columns=["key", "lat", "lon", "radius_km"]
+        )
+
+    def delete_fence(self, name: str):
+        self._fences.pop(name, None)
+
+    def add_fence_point(self, name: str, key: str, lat: float, lon: float,
+                        radius_km: float):
+        if name not in self._fences:
+            raise KeyError(f"fence {name!r} does not exist")
+        f = self._fences[name]
+        f = f[f["key"] != key]  # upsert semantics (geofence.go:52-59)
+        self._fences[name] = pd.concat(
+            [f, pd.DataFrame([{"key": key, "lat": lat, "lon": lon,
+                               "radius_km": radius_km}])],
+            ignore_index=True,
+        )
+
+    def update_fence_point(self, point_id: str, lat: float, lon: float):
+        """UpdateFencePoint (fence_index.go:75-85): overwrite a tracked
+        point's last position without emitting transitions."""
+        row = pa.table({"point_id": pa.array([point_id]),
+                        "lat": pa.array([lat]), "lon": pa.array([lon])})
+        if self._state is None:
+            self._state = row
+        else:
+            keep = self._state.filter(
+                pa.compute.not_equal(self._state["point_id"], point_id)
+            )
+            self._state = pa.concat_tables([keep, row])
+
+    def search(self, name: str, events_ds, nearest_n: int | None = 3,
+               concurrency=2):
+        """Evaluate an event batch against fence set `name`, then
+        advance the state checkpoint to the batch's last positions."""
+        if name not in self._fences:
+            raise KeyError(f"fence {name!r} does not exist")
+        fences = pa.Table.from_pandas(self._fences[name], preserve_index=False)
+        out = fence_transitions(events_ds, fences, nearest_n=nearest_n,
+                                state=self._state, concurrency=concurrency)
+        result = out.to_pandas()
+        new_state = last_positions(events_ds).to_pandas()
+        if self._state is not None:
+            old = self._state.to_pandas()
+            old = old[~old["point_id"].isin(set(new_state["point_id"]))]
+            new_state = pd.concat([old, new_state], ignore_index=True)
+        self._state = pa.Table.from_pandas(new_state, preserve_index=False)
+        return result
+
+
 def last_positions(events_ds):
     """End-of-epoch state checkpoint: latest (lat, lon) per point_id."""
 

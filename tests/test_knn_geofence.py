@@ -332,3 +332,50 @@ class TestKNNCellJoin:
         got = got[["query_id", "rank", "point_id", "dist_km"]]
         got["query_id"] = got["query_id"].astype(np.int64)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFenceIndex:
+    def test_crud_and_epochs(self):
+        import ray.data as rd
+
+        fi = geofence.FenceIndex()
+        fi.add_fence("fleet")
+        with pytest.raises(ValueError):
+            fi.add_fence("fleet")
+        fi.add_fence_point("fleet", "hq", 0.0, 0.0, 100.0)
+        fi.add_fence_point("fleet", "hq", 1.0, 1.0, 100.0)  # upsert
+        assert len(fi._fences["fleet"]) == 1
+        fi.add_fence_point("fleet", "depot", 5.0, 5.0, 50.0)
+
+        ev1 = pa.table(
+            {"seq": pa.array([0, 1], pa.int64()),
+             "point_id": pa.array(["v1", "v1"]),
+             "lat": pa.array([0.9, 1.05]), "lon": pa.array([0.9, 1.05])}
+        )
+        out1 = fi.search("fleet", rd.from_arrow(ev1), nearest_n=None)
+        # seq 0: first sighting inside hq -> ENTER+INSIDE (sentinel old)
+        s0 = set(out1[(out1.seq == 0) & (out1.fence_key == "hq")]["status"])
+        assert s0 == {"ENTER", "INSIDE"}
+
+        # epoch 2 picks up the checkpoint: still inside -> INSIDE only
+        ev2 = pa.table(
+            {"seq": pa.array([2], pa.int64()), "point_id": pa.array(["v1"]),
+             "lat": pa.array([1.1]), "lon": pa.array([1.1])}
+        )
+        out2 = fi.search("fleet", rd.from_arrow(ev2), nearest_n=None)
+        s2 = set(out2[out2.fence_key == "hq"]["status"])
+        assert s2 == {"INSIDE"}
+
+        fi.update_fence_point("v1", 50.0, 50.0)  # teleport far away
+        ev3 = pa.table(
+            {"seq": pa.array([3], pa.int64()), "point_id": pa.array(["v1"]),
+             "lat": pa.array([1.1]), "lon": pa.array([1.1])}
+        )
+        out3 = fi.search("fleet", rd.from_arrow(ev3), nearest_n=None)
+        s3 = set(out3[out3.fence_key == "hq"]["status"])
+        assert "ENTER" in s3  # came from far outside -> re-enter
+
+        fi.delete_fence("fleet")
+        with pytest.raises(KeyError):
+            fi.search("fleet", rd.from_arrow(ev3))

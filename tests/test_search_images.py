@@ -116,3 +116,50 @@ class TestImageStages:
     def test_external_codec_stub_raises(self):
         with pytest.raises(NotImplementedError):
             images._decode(b"GIF89a....", "gif")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEdgeCases:
+    def test_empty_query_terms(self):
+        import ray.data as rd
+
+        docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "c d"]})
+        out = text.bm25f_score(rd.from_pandas(docs), ["zzz_not_there"]).to_pandas()
+        assert len(out) == 0
+
+    def test_empty_documents(self):
+        import ray.data as rd
+
+        docs = pd.DataFrame({"doc_id": [0, 1], "text": ["", "   ...   "]})
+        dl = (
+            rd.from_pandas(docs)
+            .map_batches(lambda b: text.doc_lengths(b), batch_format="pandas")
+            .to_pandas()
+        )
+        assert dl["n_tokens"].tolist() == [0, 0]
+        pairs = (
+            rd.from_pandas(docs)
+            .map_batches(lambda b: text.postings_pairs(b), batch_format="pandas")
+            .to_pandas()
+        )
+        assert len(pairs) == 0
+
+    def test_knn_more_k_than_points(self):
+        import pyarrow as pa
+        import ray.data as rd
+        from go_osm_search_ray.stages import knn
+
+        points = pa.table(
+            {"point_id": pa.array([1, 2], type=pa.int64()),
+             "lat": pa.array([0.0, 1.0]), "lon": pa.array([0.0, 1.0])}
+        )
+        queries = pa.table(
+            {"query_id": pa.array([0], pa.int64()), "lat": pa.array([0.5]),
+             "lon": pa.array([0.5]), "k": pa.array([10], pa.int64())}
+        )
+        out = knn.knn_join(rd.from_arrow(points), queries, concurrency=1)
+        assert len(out) == 2  # returns what exists
+
+    def test_single_pixel_image(self):
+        img = np.array([[[1, 2, 3]]], dtype=np.uint8)
+        assert codecs.png_decode(codecs.png_encode(img)).tolist() == img.tolist()
