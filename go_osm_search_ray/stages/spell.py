@@ -219,8 +219,23 @@ class NGramLM:
 # the corrector (ST4 + Q1-Q3 query side)
 
 
+def _deletes(word: str, max_d: int) -> set[str]:
+    """All strings reachable by deleting up to max_d chars (SymSpell)."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_d):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
 class SpellCorrector:
-    def __init__(self, vocab: list[str], lm: NGramLM, noisy: NoisyChannel):
+    def __init__(self, vocab: list[str], lm: NGramLM, noisy: NoisyChannel,
+                 delete_index_threshold: int = 2000):
         self.vocab = sorted(set(vocab))
         self.by_len: dict[int, list[str]] = {}
         for w in self.vocab:
@@ -228,10 +243,26 @@ class SpellCorrector:
         self.vocab_set = set(self.vocab)
         self.lm = lm
         self.noisy = noisy
+        # SymSpell-style delete index (the scale path replacing the
+        # reference's Levenshtein-DFA x FST, spell_corrector.go:273-302):
+        # precompute delete variants of every vocab term; lookup time is
+        # O(deletes(query)) regardless of vocab size.  Only built past a
+        # vocab-size threshold — the banded scan wins below it.
+        self.delete_index: dict[str, list[str]] | None = None
+        if len(self.vocab) >= delete_index_threshold:
+            self.delete_index = {}
+            for w in self.vocab:
+                for d in _deletes(w, EDIT_DISTANCE):
+                    self.delete_index.setdefault(d, []).append(w)
 
     def word_candidates(self, word: str, max_d: int = EDIT_DISTANCE) -> list[str]:
         """All vocab terms within edit distance max_d (FST x Lev-DFA in
-        the reference; banded scan here).  Sorted (FST iteration order)."""
+        the reference).  Sorted (FST iteration order)."""
+        if self.delete_index is not None and max_d == EDIT_DISTANCE:
+            cands: set[str] = set()
+            for d in _deletes(word, max_d):
+                cands.update(self.delete_index.get(d, ()))
+            return sorted(w for w in cands if levenshtein(word, w, max_d) <= max_d)
         out = []
         for ln in range(max(1, len(word) - max_d), len(word) + max_d + 1):
             for w in self.by_len.get(ln, ()):
