@@ -146,23 +146,23 @@ class EmbedImage:
         )
 
 
-def decode_stats(images_ds, concurrency=4, batch_size: int = 1024):
+def decode_stats(images_ds, concurrency=(1, 4), batch_size: int = 1024):
     return images_ds.map_batches(DecodeStats, batch_format="pyarrow",
                                  batch_size=batch_size, concurrency=concurrency)
 
 
-def resize(images_ds, w: int, h: int, concurrency=4, batch_size: int = 512):
+def resize(images_ds, w: int, h: int, concurrency=(1, 4), batch_size: int = 512):
     return images_ds.map_batches(
         Resize, fn_constructor_kwargs={"w": w, "h": h},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
 
 
-def average_hash(images_ds, concurrency=4, batch_size: int = 1024):
+def average_hash(images_ds, concurrency=(1, 4), batch_size: int = 1024):
     return images_ds.map_batches(AverageHash, batch_format="pyarrow",
                                  batch_size=batch_size, concurrency=concurrency)
 
 
-def embed_images(images_ds, concurrency=4, batch_size: int = 512):
+def embed_images(images_ds, concurrency=(1, 4), batch_size: int = 512):
     return images_ds.map_batches(EmbedImage, batch_format="pyarrow",
                                  batch_size=batch_size, concurrency=concurrency)

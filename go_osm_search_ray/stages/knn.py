@@ -133,7 +133,7 @@ class KNNPartial:
 
 
 def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
-             tag_col: str | None = None, concurrency=4, batch_size: int = 8192):
+             tag_col: str | None = None, concurrency=(1, 4), batch_size: int = 8192):
     """points x queries -> (query_id, rank, point_id, dist_km), exact kNN.
 
     `queries` columns: query_id, lat, lon, k [, offset, radius_km, feature].
@@ -344,7 +344,7 @@ class ReverseGeocoder:
         )
 
 
-def reverse_geocode(points_ds, streets: pa.Table, concurrency=4,
+def reverse_geocode(points_ds, streets: pa.Table, concurrency=(1, 4),
                     batch_size: int = 4096, lat_col="lat", lon_col="lon"):
     import ray
 

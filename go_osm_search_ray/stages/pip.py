@@ -204,5 +204,5 @@ def pip_join(ds, polygons: pa.Table, tile_res: int | None = None,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 4),
     )

@@ -200,3 +200,68 @@ class TestEmbeddings:
         want = d.argmin(1)
         got = out.sort_values("vec_id")["ivf_bucket"].to_numpy()
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIVFSearch:
+    def test_recall_vs_brute(self):
+        import ray.data as rd
+
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        cents = embed.kmeans_centroids(m[:300], 8, iters=8)
+        queries = {
+            "query_id": df["vec_id"].head(10).tolist(),
+            "embedding": df["embedding"].head(10).tolist(),
+        }
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy()
+
+        def recall(nprobe):
+            ds = rd.read_parquet(f"{SF}/embeddings.parquet").repartition(3)
+            approx = embed.ivf_topk(ds, cents, queries, k=5,
+                                    nprobe=nprobe).to_pandas()
+            hits = 0
+            for qi in range(10):
+                sims = mn[qi] @ mn.T
+                mask = ids != ids[qi]
+                order = np.lexsort((ids[mask], -sims[mask]))
+                truth = set(ids[mask][order][:5].tolist())
+                got = set(approx[approx["query_id"] == ids[qi]]["vec_id"])
+                hits += len(truth & got)
+            return hits / 50.0
+
+        # uniform random embeddings are the worst case for IVF (no
+        # cluster structure) — recall must still rise monotonically with
+        # nprobe and hit >=0.8 at 6/8 buckets
+        r3, r6 = recall(3), recall(6)
+        assert r6 >= r3
+        assert r6 >= 0.8
+
+    def test_full_probe_equals_brute(self):
+        import ray.data as rd
+
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        cents = embed.kmeans_centroids(m[:300], 4, iters=5)
+        queries = {
+            "query_id": df["vec_id"].head(3).tolist(),
+            "embedding": df["embedding"].head(3).tolist(),
+        }
+        ds1 = rd.read_parquet(f"{SF}/embeddings.parquet")
+        ds2 = rd.read_parquet(f"{SF}/embeddings.parquet")
+        a = (
+            embed.ivf_topk(ds1, cents, queries, k=5, nprobe=4)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            embed.cosine_topk(ds2, queries, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            a[["query_id", "rank", "vec_id"]], b[["query_id", "rank", "vec_id"]]
+        )
