@@ -542,6 +542,52 @@ SELECT rank, doc_id, round(score, 6) AS score FROM ranked WHERE rank <= 10
 SQL_BM25PLUS = _sql_bm25plus()
 
 
+TFIDF_TERMS = ["hash", "scan", "hash"]  # duplicate exercises query-tf
+
+
+def q_tfidf_topk(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text.top_k(text.tfidf_score(ds, TFIDF_TERMS), k=10)
+    return _round6(out[["rank", "doc_id", "score"]], ["score"])
+
+
+def _sql_tfidf() -> str:
+    """Mirror of text.tfidf_score — the reference's dot-product-only
+    TF-IDF (norms computed but never divided by, scoring.go:183-228)."""
+    q_count = {}
+    for t in TFIDF_TERMS:
+        q_count[t] = q_count.get(t, 0) + 1
+    per_term = []
+    for t in sorted(q_count):  # same FP sum order as the numpy side
+        per_term.append(f"""
+          (CASE WHEN s.df_{t} > 0 AND d.tf_{t} > 0 THEN
+             ((1 + log10(d.tf_{t})) * (log10(s.n_docs)-log10(s.df_{t})))
+             * ((1 + log10({float(q_count[t])})) * (log10(s.n_docs)-log10(s.df_{t})))
+           ELSE 0.0 END)""")
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(tok, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
+        for t in sorted(q_count)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(tok, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+        for t in sorted(q_count)
+    )
+    score = " + ".join(per_term)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tok FROM documents),
+d AS (SELECT doc_id, {tf_cols} FROM toks),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, {df_cols} FROM toks),
+scored AS (SELECT d.doc_id, ({score}) AS score FROM d CROSS JOIN s),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM scored WHERE score != 0.0)
+SELECT rank, doc_id, round(score, 6) AS score FROM ranked WHERE rank <= 10
+"""
+
+
+SQL_TFIDF = _sql_tfidf()
+
+
 def q_ngram_bigrams(sf_dir: str):
     return text.ngram_counts(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]), 2
@@ -1177,6 +1223,7 @@ def registry():
         "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
         "bm25f_topk": (q_bm25f_topk, SQL_BM25F),
         "bm25plus_topk": (q_bm25plus_topk, SQL_BM25PLUS),
+        "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
         "ngram_bigrams": (q_ngram_bigrams, SQL_BIGRAMS),
         "vocab_min_freq": (q_vocab_min_freq, SQL_VOCAB),
         "quality_signals": (q_quality_signals, SQL_QUALITY),

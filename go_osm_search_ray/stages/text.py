@@ -223,7 +223,7 @@ def tfidf_score(ds, query_terms: list[str], id_col="doc_id", text_col="text"):
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
         s = np.zeros(len(batch))
-        for t in set(query_terms):
+        for t in sorted(set(query_terms)):  # deterministic FP sum order
             df = stats["df"][t]
             if df == 0:
                 continue
