@@ -991,6 +991,72 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the
+    stream-shaped op Ray Data expresses as an ordered per-key group
+    (SURVEY.md §2.10 pattern; ordering: (ts, event_id) per user)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype(np.int64) + 1  # first row: NaT diff -> False -> 1
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "session_id": sid})
+            .groupby("session_id", sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_event_type_users(sf_dir: str):
+    """COUNT DISTINCT via two-phase distinct pairs."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.drop_duplicates()
+        return p
+
+    pairs = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        pairs.drop_duplicates()
+        .groupby("event_type", as_index=False)["user_id"]
+        .nunique()
+        .rename(columns={"user_id": "n_users"})
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+SQL_EVENT_TYPE_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def q_event_type_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1240,6 +1306,8 @@ def registry():
         "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
         "top_orders": (q_top_orders, SQL_TOP_ORDERS),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+        "event_type_users": (q_event_type_users, SQL_EVENT_TYPE_USERS),
         "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
         "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
         "knn_cell": (q_knn_cell, SQL_KNN_CELL),
