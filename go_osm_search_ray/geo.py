@@ -170,12 +170,23 @@ def tile_ring(tile, res=DEFAULT_TILE_RES, radius=1):
 
 
 def cells_for_radius_km(lat, res, radius_km):
-    """Grid-step radius needed so a km radius around a point at `lat` is covered."""
+    """Grid-step radius needed so a km radius around a point at `lat` is covered.
+
+    The worst-case longitude compression inside the circle is at the
+    latitude furthest from the equator the circle can REACH (|lat| +
+    radius), not at the query's own latitude — a query at lat 77 with a
+    1500 km radius must cover cells near lat 89 where a degree of
+    longitude is ~50x shorter.  When the circle reaches the pole the
+    covering degenerates to a full-longitude wrap (callers clamp the
+    returned ring radius to n/2, which wraps)."""
     n = 1 << res
-    dlat_km = 180.0 / n * 111.19492664455873  # km per degree latitude (R=6371)
-    coslat = max(0.05, float(np.cos(np.radians(abs(lat)))))
-    dlon_km = 360.0 / n * 111.19492664455873 * coslat
-    return int(np.ceil(radius_km / min(dlat_km, dlon_km)))
+    km_per_deg = 111.19492664455873  # km per degree latitude (R=6371)
+    dlat_km = 180.0 / n * km_per_deg
+    lat_worst = min(89.999, abs(float(lat)) + radius_km / km_per_deg)
+    coslat = max(1e-9, float(np.cos(np.radians(lat_worst))))
+    dlon_km = 360.0 / n * km_per_deg * coslat
+    r = radius_km / min(dlat_km, dlon_km)
+    return int(min(np.ceil(r), n))  # n steps of longitude = full wrap
 
 
 # ---------------------------------------------------------------------------

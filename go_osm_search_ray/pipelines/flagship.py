@@ -82,11 +82,27 @@ def resume_flagship(images_ds, polygons: pa.Table, out_dir: str,
     happens right after the (cheap) key derivation — unfinished rows
     never reach the expensive stages.
     """
+    import glob
+    import json
+    import os
+    import shutil
+
     import numpy as np
 
     from ..state import manifest as M
 
     done = {int(k) for k in M.completed_partitions(out_dir)}
+    # A mid-run crash leaves partition dirs with orphaned files but no
+    # manifest entry; appending into them would duplicate rows on
+    # readback.  Clear every part dir NOT recorded as completed so
+    # unfinished partitions are rebuilt cleanly.
+    for d in glob.glob(os.path.join(out_dir, "part=*")):
+        try:
+            pid = int(d.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if pid not in done:
+            shutil.rmtree(d, ignore_errors=True)
 
     def part_of(batch: pa.Table) -> pa.Table:
         lat, lon = geo.phash_to_latlon(batch["phash"].to_numpy())
@@ -108,11 +124,12 @@ def resume_flagship(images_ds, polygons: pa.Table, out_dir: str,
         for pid, rec in old.get("partitions", {}).items():
             if int(pid) in done:
                 new_m["partitions"][pid] = rec
-    import json
-    import os
-
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+    # atomic replace (matching manifest.write_partitioned): a crash
+    # mid-write must not corrupt the manifest and break later resumes
+    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(new_m, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
     return new_m
 
 

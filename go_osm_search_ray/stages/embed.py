@@ -50,7 +50,8 @@ class CosineTopKPartial:
             keep = min(self.k, len(idx))
             if keep == 0:
                 continue
-            top = idx[np.argpartition(-s[idx], keep - 1)[:keep]]
+            # exact (cosine DESC, id ASC) tie-break at the cut
+            top = idx[np.lexsort((ids[idx], -s[idx]))[:keep]]
             out_q.append(np.full(len(top), self.q_ids[qi]))
             out_i.append(ids[top])
             out_s.append(s[top])
@@ -213,7 +214,7 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
                 kk = min(k, len(idx))
                 if kk == 0:
                     continue
-                top = idx[np.argpartition(-sims[qi][idx], kk - 1)[:kk]]
+                top = idx[np.lexsort((ids[idx], -sims[qi][idx]))[:kk]]
                 out_q.append(np.full(len(top), self.q_ids[qi]))
                 out_i.append(ids[top])
                 out_s.append(sims[qi][top])

@@ -92,19 +92,22 @@ class FenceEvaluator:
         n = min(self.nearest_n if self.nearest_n is not None else nf, nf)
         # nearest-n selection on the BLAS hav-"a" matrix (distance-
         # monotone, no per-pair trig — the reference's 3-NN fence probe,
-        # geofence.go:65); stable argsort so ties pick the lower fence
-        # index, mirrored by the SQL oracle's ORDER BY dist, fence_id.
-        # Exact per-pair math then runs only on the selected (E, n).
+        # geofence.go:65).  Only the MEMBERSHIP of the n nearest fences
+        # matters (each selected fence is evaluated independently), but a
+        # distance TIE at the nth boundary must resolve like the SQL
+        # oracle's ORDER BY dist, fence_id — the broadcast fence table is
+        # fence_id-sorted, so lexsort on (column position, a) is exactly
+        # that tie-break.  Exact per-pair math then runs only on (E, n).
         if n < nf:
-            # cache-sized event chunks; only the MEMBERSHIP of the n
-            # nearest fences matters (each selected fence is evaluated
-            # independently), so argpartition per chunk suffices
+            # cache-sized event chunks
             chunk = max(1, 131072 // max(nf, 1))
             parts = []
+            pos = np.arange(nf)
             for e0 in range(0, B, chunk):
                 a = geo.hav_matrix(lat[e0 : e0 + chunk], lon[e0 : e0 + chunk],
                                    self.f_lat, self.f_lon)
-                parts.append(np.argpartition(a, n - 1, axis=1)[:, :n])
+                posm = np.broadcast_to(pos, a.shape)
+                parts.append(np.lexsort((posm, a), axis=-1)[:, :n])
             kth = np.concatenate(parts, axis=0)
         else:
             kth = np.broadcast_to(np.arange(nf), (B, nf)).copy()

@@ -58,8 +58,14 @@ class KNNPartial:
         p_lat = batch["lat"].to_numpy()
         p_lon = batch["lon"].to_numpy()
         p_id = batch[self.point_id_col].to_numpy()
+        # Pre-sort the batch by point_id: array POSITION then equals the
+        # id rank, so every (a, position) lexsort below is exactly the
+        # oracle's (dist, point_id) tie-break — exact ties are systemic
+        # here (point_from_key collides for keys differing by 36000).
+        order = np.argsort(p_id, kind="stable")
+        p_lat, p_lon, p_id = p_lat[order], p_lon[order], p_id[order]
         tags = (
-            np.asarray(batch[self.tag_col].to_pylist())
+            np.asarray(batch[self.tag_col].to_pylist())[order]
             if self.tag_col and self.tag_col in batch.column_names
             else None
         )
@@ -77,8 +83,14 @@ class KNNPartial:
         kmax = min(int(self.q_keep.max()), len(p_lat))
         CHUNK = max(kmax, 131072 // max(Q, 1))  # ~Q*CHUNK*8B tile ~ 1 MiB
         has_r = ~np.isnan(self.q_radius)
-        thr = np.where(has_r, geo.hav_of_km(np.where(has_r, self.q_radius, 1.0)),
-                       np.inf)
+        # inflate the approximate hav-space threshold by a few ulps so a
+        # float-boundary point is never dropped HERE; the exact-distance
+        # recheck below prunes the overshoot
+        thr = np.where(
+            has_r,
+            geo.hav_of_km(np.where(has_r, self.q_radius, 1.0)) * (1 + 1e-12) + 1e-300,
+            np.inf,
+        )
         feat_rows = {}
         if tags is not None:
             for f in set(x for x in self.q_feature if x is not None):
@@ -93,15 +105,18 @@ class KNNPartial:
             if has_r.any():
                 np.putmask(a, a > thr[:, None], big)
             kc = min(kmax, a.shape[1])
-            t = np.argpartition(a, kc - 1, axis=1)[:, :kc]
+            # lexsort secondary key = column position = id rank (batch is
+            # id-sorted), primary = a: the exact (dist, id) cut
+            pos = np.broadcast_to(np.arange(a.shape[1]), a.shape)
+            t = np.lexsort((pos, a), axis=-1)[:, :kc]
             acc_a = np.concatenate([acc_a, np.take_along_axis(a, t, axis=1)], axis=1)
             acc_i = np.concatenate([acc_i, t + s0], axis=1)
             if acc_a.shape[1] > 4 * kmax:
-                t2 = np.argpartition(acc_a, kmax - 1, axis=1)[:, :kmax]
+                t2 = np.lexsort((acc_i, acc_a), axis=-1)[:, :kmax]
                 acc_a = np.take_along_axis(acc_a, t2, axis=1)
                 acc_i = np.take_along_axis(acc_i, t2, axis=1)
         if acc_a.shape[1] > kmax:
-            t2 = np.argpartition(acc_a, kmax - 1, axis=1)[:, :kmax]
+            t2 = np.lexsort((acc_i, acc_a), axis=-1)[:, :kmax]
             acc_a = np.take_along_axis(acc_a, t2, axis=1)
             acc_i = np.take_along_axis(acc_i, t2, axis=1)
         valid = acc_a < big
@@ -109,6 +124,13 @@ class KNNPartial:
             self.q_lat[:, None], self.q_lon[:, None],
             p_lat[acc_i], p_lon[acc_i],
         )
+        # re-check the radius on the EXACT recomputed distances: a point
+        # whose approximate hav-"a" value straddles the threshold must
+        # not be emitted past radius_km (or the SQL oracle diverges at
+        # the float boundary)
+        if has_r.any():
+            radius = np.where(has_r, self.q_radius, np.inf)
+            valid &= dist <= radius[:, None]
         m = valid.ravel()
         out_q = [np.repeat(self.q_id, acc_a.shape[1])[m]]
         out_p = [p_id[acc_i.ravel()][m]]
@@ -157,21 +179,25 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
         concurrency=concurrency,
     )
 
-    qdf = queries.to_pandas().set_index("query_id")
+    qcols = ["query_id", "k"] + (
+        ["offset"] if "offset" in queries.column_names else []
+    )
+    qdf = queries.select(qcols).to_pandas()
+    if "offset" not in qdf.columns:
+        qdf["offset"] = 0
     pdf = partials.to_pandas()
-    out = []
-    for qid, g in pdf.groupby("query_id", sort=True):
-        k = int(qdf.loc[qid, "k"])
-        offset = int(qdf.loc[qid, "offset"]) if "offset" in qdf.columns else 0
-        g = g.sort_values(["dist_km", point_id_col], kind="mergesort")
-        g = g.iloc[offset : offset + k].copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        out.append(g)
-    if not out:
+    if len(pdf) == 0:
         return pd.DataFrame(
             {"query_id": [], point_id_col: [], "dist_km": [], "rank": []}
         )
-    return pd.concat(out, ignore_index=True)
+    # vectorized per-query page slice: sort once, cumcount, mask
+    pdf = pdf.merge(qdf, on="query_id")
+    pdf = pdf.sort_values(["query_id", "dist_km", point_id_col], kind="mergesort")
+    rn = pdf.groupby("query_id", sort=False).cumcount()
+    keep = (rn >= pdf["offset"]) & (rn < pdf["offset"] + pdf["k"])
+    out = pdf.loc[keep, ["query_id", point_id_col, "dist_km"]].copy()
+    out["rank"] = (rn[keep] - pdf.loc[keep, "offset"] + 1).astype(np.int64)
+    return out.reset_index(drop=True)
 
 
 def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
@@ -245,7 +271,8 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
             keep = min(k, len(idx))
             if keep == 0:
                 continue
-            top = idx[np.argpartition(d[i][idx], keep - 1)[:keep]]
+            # exact (dist, point_id) tie-break at the cut
+            top = idx[np.lexsort((pid[idx], d[i][idx]))[:keep]]
             out_q.extend([qs["query_id"].iloc[i]] * len(top))
             out_p.extend(pid[top].tolist())
             out_d.extend(d[i][top].tolist())
