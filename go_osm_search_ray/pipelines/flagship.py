@@ -25,7 +25,7 @@ PARTITION_RES = 2  # 4x4 = 16 output partitions (coarse parent of tile_id);
 
 def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES,
                   concurrency=None, include_ahash: bool = False,
-                  carry_payload: bool = True):
+                  carry_payload: bool = True, attach_meta: bool = True):
     """images Dataset -> + (lat, lon, tile_id, part, polygon_id, region
     meta [, ahash]).  include_ahash adds the decode -> perceptual-hash
     stage (stages/images.py) — the multimodal leg of the headline
@@ -54,7 +54,8 @@ def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES
 
         ds = ds.map_batches(slim, batch_format="pyarrow")
     ds = ds.map_batches(derive, batch_format="pyarrow")
-    return pip.pip_join(ds, polygons, tile_res=res, concurrency=concurrency)
+    return pip.pip_join(ds, polygons, tile_res=res, concurrency=concurrency,
+                        attach_meta=attach_meta)
 
 
 def run_flagship(images_ds, polygons: pa.Table, out_dir: str,

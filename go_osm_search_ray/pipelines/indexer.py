@@ -72,6 +72,8 @@ def build_index(docs_ds_factory, out_dir: str,
     with timed("vocab"):
         vocab = text_stage.vocab_with_min_freq(docs_ds_factory(), 2,
                                                text_col=text_col)
+        if hasattr(vocab, "to_pandas"):
+            vocab = vocab.to_pandas()  # artifact is one driver-written file
         pq.write_table(pa.Table.from_pandas(vocab, preserve_index=False),
                        os.path.join(out_dir, "vocab.parquet"))
 

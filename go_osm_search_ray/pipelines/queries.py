@@ -714,49 +714,11 @@ FROM documents GROUP BY 1
 
 def _shingle_common_impl(sf_dir: str):
     """(id_a, id_b, common, size_a, size_b) for pairs passing
-    common*5 >= size_a+size_b-common."""
+    common*5 >= size_a+size_b-common (jaccard >= 1/5) — thin wrapper
+    over dedup.jaccard_pairs(output="sizes"); the SQL oracle below is
+    its exact self-join mirror."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = text.tokenize_series(batch["text"])
-        ids, shs, sizes = [], [], []
-        for i, ws in enumerate(toks):
-            sh = sorted(dedup._shingles(ws, 3))
-            ids.extend([batch["doc_id"].iloc[i]] * len(sh))
-            shs.extend(sh)
-            sizes.extend([len(sh)] * len(sh))
-        return pd.DataFrame({"shingle": shs, "doc_id": ids, "set_size": sizes})
-
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "size_a": [], "size_b": [],
-                                 "c": []})
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g["doc_id"].tolist()
-        sz = g["set_size"].tolist()
-        ra, rb, sa, sb = [], [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ra.append(ids[i]); rb.append(ids[j]); sa.append(sz[i]); sb.append(sz[j])
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "size_a": sa, "size_b": sb,
-                             "c": np.ones(len(ra), dtype=np.int64)})
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        common = int(g["c"].sum())
-        sa, sb = int(g["size_a"].iloc[0]), int(g["size_b"].iloc[0])
-        if common * 5 < sa + sb - common:
-            return pd.DataFrame({"id_a": [], "id_b": [], "common": [],
-                                 "size_a": [], "size_b": []})
-        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
-                             "common": [common], "size_a": [sa], "size_b": [sb]})
-
-    return (
-        ds.map_batches(shingle_rows, batch_format="pandas")
-        .groupby("shingle")
-        .map_groups(pairs_in_group, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(finalize, batch_format="pandas")
-    )
+    return dedup.jaccard_pairs(ds, threshold=0.2, output="sizes")
 
 
 SQL_SHINGLE_COMMON = f"""
@@ -895,24 +857,30 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_segment_revenue(sf_dir: str):
-    """Broadcast hash join (customer dim -> orders fact) + aggregate."""
+    """Broadcast hash join (customer dim -> orders fact) + aggregate.
+
+    The dim side is broadcast as an ARROW TABLE (`ray.put` once, read
+    zero-copy per actor) and joined with a vectorized pandas hash merge
+    — not a Python dict + Series.map, whose per-key hashing and ~GBs of
+    dict overhead fall over at dim cardinalities like sf100's 15M
+    customers."""
     import ray
 
     cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(lookup)
+    ref = ray.put(cust)
 
     class Join:
         def __init__(self):
             import ray as _r
 
-            self.lookup = _r.get(ref)
+            self.dim = _r.get(ref).to_pandas()
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            seg = b["o_custkey"].map(self.lookup)
-            cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            j = b.merge(self.dim, left_on="o_custkey", right_on="c_custkey",
+                        how="inner")
+            cents = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
             g = (
-                pd.DataFrame({"c_mktsegment": seg, "price_c": cents})
+                pd.DataFrame({"c_mktsegment": j["c_mktsegment"], "price_c": cents})
                 .groupby("c_mktsegment", sort=False)
                 .agg(revenue_c=("price_c", "sum"), n_orders=("price_c", "size"))
                 .reset_index()
@@ -978,10 +946,16 @@ def q_events_window(sf_dir: str):
 
     from ..stages.agg import two_phase_agg
 
-    out = two_phase_agg(ds, partial, ["user_id", "hour"], ["n", "sum_value_c"])
-    out["n"] = out["n"].astype(np.int64)
-    out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
-    return out
+    # (user_id, hour) is an unbounded keyspace -> distributed combine
+    out = two_phase_agg(ds, partial, ["user_id", "hour"], ["n", "sum_value_c"],
+                        combine="shuffle")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["n"] = b["n"].astype(np.int64)
+        b["sum_value_c"] = b["sum_value_c"].astype(np.int64)
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
 
 
 SQL_EVENTS_WINDOW = """
@@ -1033,22 +1007,32 @@ FROM s GROUP BY 1, 2
 
 
 def q_event_type_users(sf_dir: str):
-    """COUNT DISTINCT via two-phase distinct pairs."""
+    """COUNT DISTINCT, fully distributed: per-batch distinct pairs ->
+    keyed-shuffle distinct on (event_type, user_id) -> per-batch partial
+    counts -> tiny groupby(event_type) sum.  Nothing unbounded ever
+    lands on the driver (the pair space is O(users x types))."""
+    from ray.data.aggregate import Sum
+
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+    distinct = pairs.groupby(["event_type", "user_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        p = b.drop_duplicates()
-        return p
+        vc = b["event_type"].value_counts()
+        return pd.DataFrame({"event_type": vc.index,
+                             "n_users": vc.to_numpy(np.int64)})
 
-    pairs = ds.map_batches(partial, batch_format="pandas").to_pandas()
     out = (
-        pairs.drop_duplicates()
-        .groupby("event_type", as_index=False)["user_id"]
-        .nunique()
-        .rename(columns={"user_id": "n_users"})
+        distinct.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
     )
-    out["n_users"] = out["n_users"].astype(np.int64)
-    return out
+    return out.map_batches(
+        lambda b: b.assign(n_users=b["n_users"].astype(np.int64)),
+        batch_format="pandas",
+    )
 
 
 SQL_EVENT_TYPE_USERS = """
@@ -1262,9 +1246,20 @@ def q_ivf_assign(sf_dir: str):
 
 
 def q_postings_lists(sf_dir: str):
+    """A1+A2 merged inverted index; postings stringified so the driver
+    can value-hash against the DuckDB list aggregation."""
     return text.postings_lists(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        stringify=True,
     )
+
+
+SQL_POSTINGS_LISTS = f"""
+SELECT term, array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM (SELECT DISTINCT t.term, d.doc_id
+      FROM documents d, unnest({TOK}) AS t(term))
+GROUP BY term
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1317,7 +1312,7 @@ def registry():
         "minhash_pairs": (q_minhash_pairs, None),
         "simhash_signatures": (q_simhash_signatures, None),
         "ivf_assign": (q_ivf_assign, None),
-        "postings_lists": (q_postings_lists, None),
+        "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
         "search_fulltext": (q_search_fulltext, None),
         "autocomplete": (q_autocomplete, None),
         "image_decode_stats": (q_image_decode_stats, None),

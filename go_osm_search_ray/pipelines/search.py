@@ -39,68 +39,75 @@ def full_text_search(docs_ds_factory, queries: pd.DataFrame,
                      corrector: spell_stage.SpellCorrector,
                      k: int = 10, scoring: str = "bm25f",
                      hydrate_results: bool = False):
-    """Q1 for a batch of queries.  `docs_ds_factory()` returns a fresh
-    documents Dataset per scan (two scans per query: stats + score).
+    """Q1 for a batch of queries in exactly TWO corpus scans TOTAL
+    (shared stats over the union of corrected terms + one scoring scan
+    emitting every query's scores — `text.score_multi`), not two scans
+    per query.  Spell correction runs driver-side against the in-memory
+    corrector (use `correct_queries` for a large query Dataset).
 
     queries: DataFrame (query_id, query [, top_k, offset]).
     Returns (query_id, corrected, rank, doc_id, score).
     """
-    out = []
-    scorer = {
-        "bm25f": text_stage.bm25f_score,
-        "bm25plus": text_stage.bm25plus_score,
-        "tfidf": text_stage.tfidf_score,
-    }[scoring]
+    corrected_terms: dict = {}
+    corrected_str: dict = {}
+    k_by_query: dict = {}
     for row in queries.itertuples():
         tokens = list(text_stage.tokenize_series(pd.Series([row.query]))[0])
         corrected = corrector.correct(tokens)
+        corrected_terms[row.query_id] = corrected
+        corrected_str[row.query_id] = " ".join(corrected)
         topk = int(getattr(row, "top_k", k) or k)
         offset = int(getattr(row, "offset", 0) or 0)
-        scored = scorer(docs_ds_factory(), corrected)
-        page = text_stage.top_k(scored, k=topk, offset=offset)
-        page = page.assign(query_id=row.query_id, corrected=" ".join(corrected))
-        out.append(page[["query_id", "corrected", "rank", "doc_id", "score"]])
-    res = (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(columns=["query_id", "corrected", "rank", "doc_id", "score"])
-    )
-    return res
+        k_by_query[row.query_id] = (topk, offset)
+    if not corrected_terms:
+        return pd.DataFrame(
+            columns=["query_id", "corrected", "rank", "doc_id", "score"]
+        )
+    scored = text_stage.score_multi(docs_ds_factory(), corrected_terms,
+                                    scoring=scoring)
+    page = text_stage.top_k_multi(scored, k_by_query)
+    page["corrected"] = page["query_id"].map(corrected_str)
+    return page[["query_id", "corrected", "rank", "doc_id", "score"]]
 
 
 def autocomplete(docs_ds_factory, queries: pd.DataFrame,
                  corrector: spell_stage.SpellCorrector, k: int = 10):
     """Q2: top-3 candidate queries per input, each BM25F-scored, fan-in
-    sorted globally per query (K2).  Returns
+    sorted globally per query (K2).  All candidates of ALL queries score
+    in the same two corpus scans (each candidate is a sub-query keyed
+    (query_id, cand_idx) through `score_multi`); the fan-in then merges
+    per original query.  Returns
     (query_id, candidate_query, rank, doc_id, score)."""
-    out = []
+    sub_terms: dict = {}
+    cand_str: dict = {}
+    owner: dict = {}
     for row in queries.itertuples():
         tokens = list(text_stage.tokenize_series(pd.Series([row.query]))[0])
         if not tokens:
             continue
-        candidates = corrector.autocomplete(tokens)
-        scored_all = []
-        for cand in candidates:
-            scored = text_stage.bm25f_score(docs_ds_factory(), cand).to_pandas()
-            scored["candidate_query"] = " ".join(cand)
-            scored_all.append(scored)
-        if not scored_all:
-            continue
-        fan_in = pd.concat(scored_all, ignore_index=True)
-        fan_in = fan_in.sort_values(["score", "doc_id"],
-                                    ascending=[False, True], kind="mergesort").head(k)
-        fan_in = fan_in.assign(
-            query_id=row.query_id,
-            rank=np.arange(1, len(fan_in) + 1, dtype=np.int64),
-        )
-        out.append(fan_in[["query_id", "candidate_query", "rank", "doc_id", "score"]])
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(
+        for ci, cand in enumerate(corrector.autocomplete(tokens)):
+            key = f"{row.query_id}#{ci}"  # Arrow-friendly sub-query key
+            sub_terms[key] = cand
+            cand_str[key] = " ".join(cand)
+            owner[key] = row.query_id
+    if not sub_terms:
+        return pd.DataFrame(
             columns=["query_id", "candidate_query", "rank", "doc_id", "score"]
         )
-    )
+    scored = text_stage.score_multi(docs_ds_factory(), sub_terms,
+                                    scoring="bm25f").to_pandas()
+    scored["candidate_query"] = scored["query_id"].map(cand_str)
+    scored["query_id"] = scored["query_id"].map(owner)
+    out = []
+    for qid, g in scored.groupby("query_id", sort=True):
+        fan_in = g.sort_values(["score", "doc_id"],
+                               ascending=[False, True], kind="mergesort").head(k)
+        fan_in = fan_in.assign(
+            rank=np.arange(1, len(fan_in) + 1, dtype=np.int64),
+        )
+        out.append(fan_in[["query_id", "candidate_query", "rank", "doc_id",
+                           "score"]])
+    return pd.concat(out, ignore_index=True)
 
 
 def boolean_and(docs_ds, terms: list[str], id_col="doc_id", text_col="text"):
@@ -121,7 +128,7 @@ def boolean_and(docs_ds, terms: list[str], id_col="doc_id", text_col="text"):
 
     from ..stages.agg import two_phase_agg
 
-    counts = two_phase_agg(docs_ds, pairs, [id_col], ["hits"])
-    if len(counts) == 0:
-        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
-    return counts[counts["hits"] == len(tset)][[id_col]].reset_index(drop=True)
+    # doc_id is an unbounded keyspace -> distributed combine, then a
+    # streaming filter; the result Dataset holds only the matching ids
+    counts = two_phase_agg(docs_ds, pairs, [id_col], ["hits"], combine="shuffle")
+    return counts.filter(expr=f"hits == {len(tset)}").select_columns([id_col])

@@ -7,12 +7,14 @@ aggregation already collapses the data to O(distinct keys per block),
 the final combine over partials is tiny — so this helper finishes it
 with a single pandas combine on the driver.
 
-Scale contract: the RESULT (and the per-block partials) must be
-bounded by the key cardinality, not the input size.  That holds for
-tile histograms, term DF, vocab counts, n-gram counts, hourly windows.
-For genuinely huge key spaces (e.g. per-document stats over 10^12 docs)
-keep `Dataset.groupby` (pass combine="shuffle") so the merge itself is
-distributed — the partial stage is identical either way.
+Scale contract: the DEFAULT is combine="shuffle" — a distributed
+`Dataset.groupby` over the partials, safe for any key cardinality
+(web-corpus vocab / n-gram keyspaces are billions of keys at 100 TB).
+Pass combine="driver" ONLY when the key space is provably small and
+bounded (grid cells at a fixed resolution, enum-like keys, per-language
+buckets): it skips the all-to-all and finishes with one pandas combine
+on the driver, which this Ray version makes worth having (~60 s fixed
+cost for a 100k-group sorted groupby at 8 CPUs).
 """
 
 from __future__ import annotations
@@ -20,12 +22,14 @@ from __future__ import annotations
 import pandas as pd
 
 
-def two_phase_agg(ds, partial_fn, keys, sums, combine: str = "driver"):
+def two_phase_agg(ds, partial_fn, keys, sums, combine: str = "shuffle"):
     """partial_fn: batch -> partial rows with `keys` + `sums` columns.
     Returns aggregated result with SUM over each column in `sums`.
 
-    combine="driver": small final pandas combine (default; see module
-    docstring).  combine="shuffle": Ray groupby for unbounded keys.
+    combine="shuffle" (default): distributed Ray groupby — returns a
+    Dataset; safe for unbounded key spaces.  combine="driver": small
+    final pandas combine — returns a DataFrame; ONLY for provably
+    bounded key spaces (see module docstring).
     """
     partials = ds.map_batches(partial_fn, batch_format="pandas")
     if combine == "shuffle":

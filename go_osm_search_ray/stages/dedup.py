@@ -144,59 +144,97 @@ class MinHasher:
 def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
                       num_perm: int = 128, bands: int = 16, threshold: float = 0.5):
     """Near-dup pairs: shingle -> minhash -> banded buckets -> candidate
-    pairs -> exact-Jaccard verify.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold.
+    pairs (signature-estimated Jaccard prefilter) -> exact-Jaccard
+    verify of the SURVIVING candidates only.  Returns a Dataset of
+    (id_a, id_b, jaccard) with id_a < id_b and exact jaccard >= threshold.
 
-    Scale path: the only shuffle is groupby(band, bucket); the verify
-    joins shingle SETS of candidates only (broadcast back via pairs).
+    Scale shape: the banding shuffle moves ONLY (band, bucket, doc_id,
+    signature) — a signature is a fixed num_perm*8 bytes, independent of
+    document length, so per-doc shuffle bytes are bands * (16 B bucket +
+    1 KiB sig), never the corpus text (shipping each doc's shingle list
+    in every band row would amplify the corpus x bands through the
+    object store).  The exact verify re-scans the source for CANDIDATE
+    docs only (bounded by the LSH candidate count, << corpus).
     """
+    import ray.data as rd
+
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm)
 
     def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
-        out = {"band": [], "bucket": [], id_col: [], "shingles": []}
+        out = {"band": [], "bucket": [], id_col: [], "sig": []}
         for i, ws in enumerate(toks):
             sh = _shingles(ws, k_shingle)
             hv = np.array([_hash64(s) for s in sh], dtype=np.uint64)
             sig = hasher.signature(hv)
-            sh_list = sorted(sh)
+            sig_b = sig.tobytes()
             for b in range(bands):
                 band_sig = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 bucket = hashlib.md5(band_sig.tobytes()).hexdigest()[:16]
                 out["band"].append(b)
                 out["bucket"].append(bucket)
                 out[id_col].append(batch[id_col].iloc[i])
-                out["shingles"].append(sh_list)
+                out["sig"].append(sig_b)
         return pd.DataFrame(out)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # prefilter slack: the signature estimate of a true >=threshold pair
+    # is within ~5 sigma of truth at num_perm=128; half the threshold is
+    # far below that band, so no true pair is lost here — the exact
+    # verify below makes the final call
+    est_floor = threshold * 0.5
+
+    def cands_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            return pd.DataFrame({"id_a": [], "id_b": []})
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].tolist()
-        sh = [set(s) for s in g["shingles"]]
-        ra, rb, rj = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sh[i] & sh[j])
-                union = len(sh[i] | sh[j])
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    ra.append(ids[i]); rb.append(ids[j]); rj.append(jac)
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj})
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        ra, rb = [], []
+        for i in range(len(ids) - 1):
+            est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for off in np.nonzero(est >= est_floor)[0]:
+                ra.append(ids[i])
+                rb.append(ids[i + 1 + off])
+        return pd.DataFrame({"id_a": ra, "id_b": rb})
 
     cand = (
         ds.map_batches(sig_rows, batch_format="pandas")
         .groupby(["band", "bucket"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
+        .map_groups(cands_in_bucket, batch_format="pandas")
+        .groupby(["id_a", "id_b"])  # same pair surfaces from several bands
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    ).to_pandas()  # bounded by candidate count, not corpus size
 
-    # same pair can surface from several bands -> dedup
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    if len(cand) == 0:
+        return rd.from_pandas(empty)
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    # exact verify: second scan restricted to candidate docs
+    wanted = set(cand["id_a"]) | set(cand["id_b"])
+
+    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch[id_col].isin(wanted)]
+        toks = tokenize_series(sub[text_col])
+        return pd.DataFrame({
+            id_col: sub[id_col].to_numpy(),
+            "shingles": [sorted(_shingles(ws, k_shingle)) for ws in toks],
+        })
+
+    sh_df = ds.map_batches(shingle_sets, batch_format="pandas").to_pandas()
+    sets = {d: set(s) for d, s in zip(sh_df[id_col], sh_df["shingles"])}
+    ra, rb, rj = [], [], []
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        sa, sb = sets[a], sets[b]
+        union = len(sa | sb)
+        jac = len(sa & sb) / union if union else 1.0
+        if jac >= threshold:
+            ra.append(a); rb.append(b); rj.append(jac)
+    if not ra:
+        return rd.from_pandas(empty)
+    return rd.from_pandas(pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj}))
 
 
 # ---------------------------------------------------------------------------
@@ -275,10 +313,24 @@ def simhash_dup_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3
 
 
 def jaccard_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
-                  threshold: float = 0.2):
+                  threshold: float = 0.2, max_df: int | None = None,
+                  output: str = "jaccard"):
     """All pairs with distinct-shingle Jaccard >= threshold, computed by
     exploding (shingle, doc) pairs and shuffling on shingle — exactly
-    the DuckDB self-join oracle, distributed."""
+    the DuckDB self-join oracle, distributed.
+
+    Hot-key guard: a shingle shared by g docs emits O(g^2) pair rows —
+    one stopword trigram shared by 10^6 docs would emit 10^12 rows.
+    `max_df` drops shingle groups larger than the cap before pair
+    emission (standard near-dup practice: ultra-common shingles carry no
+    dedup signal; mirror it in SQL with HAVING COUNT(*) <= max_df when
+    oracle parity with a cap is wanted).  None = no cap (exact oracle
+    semantics; only for bounded corpora).
+
+    output="jaccard": (id_a, id_b, jaccard rounded to 6).
+    output="sizes":   (id_a, id_b, common, size_a, size_b) — the
+    SQL-checkable shingle_common form (integer columns hash exactly).
+    """
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
@@ -291,7 +343,7 @@ def jaccard_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
         return pd.DataFrame({"shingle": shs, id_col: ids, "set_size": sizes})
 
     def common_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        if len(g) < 2 or (max_df is not None and len(g) > max_df):
             return pd.DataFrame({"id_a": [], "id_b": [], "size_a": [], "size_b": [],
                                  "common_partial": []})
         g = g.sort_values(id_col, kind="mergesort")
@@ -310,7 +362,15 @@ def jaccard_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
         sa, sb = int(g["size_a"].iloc[0]), int(g["size_b"].iloc[0])
         jac = common / (sa + sb - common)
         if jac < threshold:
+            if output == "sizes":
+                return pd.DataFrame({"id_a": [], "id_b": [], "common": [],
+                                     "size_a": [], "size_b": []})
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if output == "sizes":
+            return pd.DataFrame({"id_a": [g["id_a"].iloc[0]],
+                                 "id_b": [g["id_b"].iloc[0]],
+                                 "common": [common],
+                                 "size_a": [sa], "size_b": [sb]})
         return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
                              "jaccard": [round(jac, 6)]})
 

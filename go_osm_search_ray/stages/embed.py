@@ -5,7 +5,10 @@ batch computes a numpy matmul against it, emitting a PARTIAL top-k per
 query — the same combiner plan as stages/knn.py, so the shuffle moves
 only O(blocks * Q * k) rows.  An IVF-style variant (coarse-bucket the
 corpus by nearest centroid, probe only matching buckets) rides on the
-same partial-top-k machinery via `ivf_assign`.
+same partial-top-k machinery via `ivf_assign`.  All-pairs near-dup has
+two plans: an exact 2-D block decomposition (distributed,
+memory-bounded O(n^2)) and a random-hyperplane LSH (sub-quadratic,
+recall < 1) — see `embedding_dup_pairs`.
 """
 
 from __future__ import annotations
@@ -97,46 +100,137 @@ def cosine_topk(ds, queries: dict | pa.Table, k: int, id_col: str = "vec_id",
 
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                        block_rows: int = 8192):
+                        method: str = "block", n_blocks: int = 8,
+                        n_planes: int = 64, bands: int = 16, seed: int = 7):
     """All (id_a < id_b) pairs with cosine >= threshold.
 
-    Block-matmul plan: corpus blocks cross-checked pairwise.  For the
-    sandbox scale a broadcast of the (normalized) full matrix is fine;
-    at 100 TB this becomes LSH-bucketed (random-hyperplane signs ->
-    groupby bucket) — see simhash for the banding pattern.
+    method="block" (default, EXACT): 2-D block decomposition.  Each
+    vector (block g = id % n_blocks) is replicated to the n_blocks
+    unordered block-pairs containing g; a groupby on the block-pair key
+    gives every pair of vectors exactly one co-located bucket, which
+    runs its cross/triangular matmul locally.  Exact all-pairs compute
+    is inherently O(n^2) — what this plan fixes is MEMORY and PLACEMENT:
+    per-task working set is <= 2n/n_blocks vectors, shuffle volume is
+    n * n_blocks rows, and nothing is ever materialized on the driver
+    (the old plan's full-matrix `to_pandas` + broadcast was a driver OOM
+    at 10^9 vectors).  Size n_blocks ~ sqrt(n / rows-per-task).
+
+    method="lsh" (approximate, the 100-TB path): random-hyperplane sign
+    bits banded like simhash -> groupby(band, bucket) -> exact-cosine
+    verify inside buckets -> pair dedup.  O(n^2 / buckets) compute;
+    recall for a pair at cosine c is 1-(1-p^r)^bands with
+    p = 1 - arccos(c)/pi — near 1 for true near-dups (c >= 0.9), NOT 1
+    for mid-similarity thresholds; use "block" when exactness matters.
     """
+    if method == "lsh":
+        return _dup_pairs_lsh(ds, threshold, id_col, n_planes, bands, seed)
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        g = ids.astype(np.int64) % n_blocks
+        reps = []
+        for gp in range(n_blocks):
+            lo = np.minimum(g, gp)
+            hi = np.maximum(g, gp)
+            reps.append(pd.DataFrame({
+                "bucket": lo * n_blocks + hi,
+                id_col: ids,
+                "g": g,
+                "embedding": b["embedding"],
+            }))
+        return pd.concat(reps, ignore_index=True)
+
+    def pairs_in_bucket(gdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(gdf["bucket"].iloc[0])
+        lo, hi = bucket // n_blocks, bucket % n_blocks
+        m = np.asarray(gdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms > 0, norms, 1.0)
+        ids = gdf[id_col].to_numpy()
+        g = gdf["g"].to_numpy()
+        if lo == hi:
+            sims = m @ m.T
+            ii, jj = np.triu_indices(len(ids), 1)
+            hit = sims[ii, jj] >= threshold
+            a_ids, b_ids, cs = ids[ii[hit]], ids[jj[hit]], sims[ii[hit], jj[hit]]
+        else:
+            left = g == lo
+            ml, mr = m[left], m[~left]
+            il, ir = ids[left], ids[~left]
+            if len(ml) == 0 or len(mr) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            sims = ml @ mr.T
+            ii, jj = np.nonzero(sims >= threshold)
+            a_ids, b_ids, cs = il[ii], ir[jj], sims[ii, jj]
+        return pd.DataFrame({
+            "id_a": np.minimum(a_ids, b_ids).astype(np.int64),
+            "id_b": np.maximum(a_ids, b_ids).astype(np.int64),
+            "cosine": cs,
+        })
+
+    return (
+        ds.map_batches(expand, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+
+def _dup_pairs_lsh(ds, threshold: float, id_col: str, n_planes: int,
+                   bands: int, seed: int):
+    """Random-hyperplane LSH near-dup pairs (see embedding_dup_pairs)."""
     import ray
 
-    full = ds.select_columns([id_col, "embedding"]).to_pandas()
-    ids = full[id_col].to_numpy()
-    m = np.asarray(full["embedding"].tolist(), dtype=np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ref_m = ray.put(m)
-    ref_ids = ray.put(ids)
+    dim = len(ds.take(1)[0]["embedding"])  # schema probe: one tiny row
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    ref = ray.put(planes)
+    r = n_planes // bands
+    pw = (np.int64(1) << np.arange(r, dtype=np.int64))
 
-    class Block:
+    class BandRows:
         def __init__(self):
-            self.m = ray.get(ref_m)
-            self.ids = ray.get(ref_ids)
+            self.planes = ray.get(ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bm = _to_matrix(batch["embedding"])
-            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-            b_ids = batch[id_col].to_numpy()
-            sims = bm @ self.m.T
-            ra, rb, rs = [], [], []
-            for i in range(len(b_ids)):
-                hits = np.nonzero(sims[i] >= threshold)[0]
-                for j in hits:
-                    if self.ids[j] > b_ids[i]:
-                        ra.append(b_ids[i]); rb.append(self.ids[j])
-                        rs.append(sims[i, j])
-            return pa.table({"id_a": pa.array(ra, pa.int64()),
-                             "id_b": pa.array(rb, pa.int64()),
-                             "cosine": pa.array(rs, pa.float64())})
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(norms > 0, norms, 1.0)
+            bits = (m @ self.planes.T) > 0
+            frames = []
+            for bi in range(bands):
+                chunk = bits[:, bi * r : (bi + 1) * r]
+                bucket = (chunk.astype(np.int64) * pw[None, :]).sum(axis=1)
+                frames.append(pd.DataFrame({
+                    "band": bi, "bucket": bucket,
+                    id_col: b[id_col], "embedding": b["embedding"],
+                }))
+            return pd.concat(frames, ignore_index=True)
 
-    return ds.map_batches(Block, batch_format="pyarrow", batch_size=block_rows,
-                          concurrency=2)
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms > 0, norms, 1.0)
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), 1)
+        hit = sims[ii, jj] >= threshold
+        a_ids, b_ids = ids[ii[hit]], ids[jj[hit]]
+        return pd.DataFrame({
+            "id_a": np.minimum(a_ids, b_ids).astype(np.int64),
+            "id_b": np.maximum(a_ids, b_ids).astype(np.int64),
+            "cosine": sims[ii[hit], jj[hit]],
+        })
+
+    cand = (
+        ds.map_batches(BandRows, batch_format="pandas", concurrency=(1, 4))
+        .groupby(["band", "bucket"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # same pair can surface from several bands -> dedup
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

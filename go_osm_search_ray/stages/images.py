@@ -70,6 +70,56 @@ def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
     return img[np.ix_(ys, xs)]
 
 
+class DecodeSums:
+    """Integer-exact per-image, per-channel pixel sums — the
+    DuckDB-oracle-hashable decode proof (floats round differently across
+    engines; integer sums cannot).  decode runs through the REAL codec;
+    the SQL oracle reproduces the pixel math without ever decoding."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = batch.num_rows
+        sums = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):
+            img = _decode(blobs[i], fmts[i]).astype(np.int64)
+            sums[i] = img.sum(axis=(0, 1))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "sum_r": pa.array(sums[:, 0], pa.int64()),
+                "sum_g": pa.array(sums[:, 1], pa.int64()),
+                "sum_b": pa.array(sums[:, 2], pa.int64()),
+            }
+        )
+
+
+class AverageHashInt:
+    """Integer-exact 8x8 average hash over (r+g+b) sums: bit (y*8+x) is
+    set iff 64*(r+g+b)[y,x] > sum of all (r+g+b) — no float grayscale,
+    so the threshold comparison is exact and SQL-mirrorable.  The int64
+    two's-complement packing matches the SQL v_lo - bit63*(2^63-1) -
+    bit63 formulation bit-for-bit."""
+
+    _POW2_63 = (np.int64(1) << np.arange(63, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = batch.num_rows
+        g3 = np.empty((n, 64), dtype=np.int64)
+        for i in range(n):
+            img = _decode(blobs[i], fmts[i]).astype(np.int64)
+            small = _resize_nn(img, 8, 8)
+            g3[i] = small.sum(axis=2).reshape(64)
+        total = g3.sum(axis=1, keepdims=True)
+        bits = (64 * g3) > total
+        v_lo = (bits[:, :63].astype(np.int64) * self._POW2_63[None, :]).sum(axis=1)
+        b63 = bits[:, 63].astype(np.int64)
+        vals = v_lo - b63 * np.int64(9223372036854775807) - b63
+        return batch.append_column("ahash_int", pa.array(vals, pa.int64()))
+
+
 class Resize:
     """Decode -> nearest-neighbor resize -> re-encode (always PNG out,
     lossless, so downstream invariants are exact)."""

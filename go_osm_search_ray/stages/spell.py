@@ -271,7 +271,14 @@ class SpellCorrector:
         return sorted(out)
 
     def prefix_candidates(self, prefix: str) -> list[str]:
-        return [w for w in self.vocab if w.startswith(prefix)]
+        """Prefix range on the sorted vocab via two bisects —
+        O(log |vocab|), the FST-prefix-walk equivalent
+        (spell_corrector.go:361-392) — not a linear vocab scan."""
+        import bisect
+
+        lo = bisect.bisect_left(self.vocab, prefix)
+        hi = bisect.bisect_left(self.vocab, prefix + "\uffff")
+        return self.vocab[lo:hi]
 
     def candidate_queries(self, tokens: list[str], last_is_prefix: bool = False):
         """Cartesian product of per-term candidates
@@ -328,6 +335,10 @@ def build_spell_corrector(docs_ds, spell_error_lines: list[str],
     from . import text as text_stage
 
     vocab_df = text_stage.vocab_with_min_freq(docs_ds, min_freq, text_col=text_col)
+    if hasattr(vocab_df, "to_pandas"):
+        # the combine was distributed; materializing HERE is the
+        # in-memory model build (the corrector holds the vocab anyway)
+        vocab_df = vocab_df.to_pandas()
     vocab = set(vocab_df["term"])
     lm = NGramLM.build(docs_ds, vocab, text_col=text_col)
     noisy = NoisyChannel(spell_error_lines)

@@ -96,10 +96,11 @@ def doc_lengths(batch: pd.DataFrame, id_col="doc_id", text_col="text") -> pd.Dat
     )
 
 
-def term_df(ds, id_col="doc_id", text_col="text", combine="driver"):
+def term_df(ds, id_col="doc_id", text_col="text", combine="shuffle"):
     """term -> document frequency.  Partial = per-batch distinct-doc
     counts per term (each doc lives in exactly one batch, so partial DFs
-    sum exactly); final combine is tiny (bounded by vocab size)."""
+    sum exactly); the combine over partials is a distributed groupby by
+    default — a web corpus's vocab is NOT driver-sized."""
     from .agg import two_phase_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -110,21 +111,81 @@ def term_df(ds, id_col="doc_id", text_col="text", combine="driver"):
     return two_phase_agg(ds, partial, ["term"], ["df"], combine=combine)
 
 
-def postings_lists(ds, id_col="doc_id", text_col="text"):
-    """term -> sorted doc id list (the merged inverted index, A1+A2)."""
+def postings_lists(ds, id_col="doc_id", text_col="text", n_salt: int = 16,
+                   stringify: bool = False):
+    """term -> sorted doc id list (the merged inverted index, A1+A2).
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
+    Hot terms (stopwords: df ~ corpus size) are SALTED so no single
+    shuffle group holds a hot term's full postings while sorting:
+    stage 1 groups by (term, salt = doc_id % n_salt) and emits sorted
+    sub-lists (~df/n_salt each), stage 2 merges the <= n_salt sub-list
+    rows per term.  The final row still carries the term's full list —
+    that is the operator's contract — but the heavy sort work and the
+    shuffle group sizes are salt-bounded.
+
+    stringify=True returns postings as a comma-joined string (the
+    DuckDB-oracle-hashable form)."""
+
+    def pairs_salted(b: pd.DataFrame) -> pd.DataFrame:
+        p = postings_pairs(b, id_col, text_col)
+        p["salt"] = p["doc_id"].to_numpy().astype(np.int64) % n_salt
+        return p
+
+    def sub_list(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
-        return pd.DataFrame({"term": [g["term"].iloc[0]], "postings": [ids.tolist()]})
+        return pd.DataFrame({"term": [g["term"].iloc[0]],
+                             "sub": [ids.tolist()]})
 
-    pairs = ds.map_batches(
-        lambda b: postings_pairs(b, id_col, text_col), batch_format="pandas"
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in g["sub"]]
+        ))
+        val = ",".join(str(i) for i in ids.tolist()) if stringify else ids.tolist()
+        return pd.DataFrame({"term": [g["term"].iloc[0]], "postings": [val]})
+
+    pairs = ds.map_batches(pairs_salted, batch_format="pandas")
+    subs = pairs.groupby(["term", "salt"]).map_groups(
+        sub_list, batch_format="pandas"
     )
-    return pairs.groupby("term").map_groups(collect, batch_format="pandas")
+    return subs.groupby("term").map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # BM25F / BM25+ / TF-IDF scoring over a document Dataset for one query
+
+
+def _tf_matrix(toks: pd.Series, terms: list[str], name_len: int):
+    """(tf_name, tf_addr) float64 matrices of shape (len(toks),
+    len(terms)) — term frequency of each query term per doc field,
+    computed with ONE token explode + per-term bincount.  This replaces
+    per-row Python `ws.count(t)` loops in every scoring scan; the
+    resulting integers (hence the downstream floats) are identical."""
+    n, T = len(toks), len(terms)
+    tf_n = np.zeros((n, T), dtype=np.float64)
+    tf_a = np.zeros((n, T), dtype=np.float64)
+    if n == 0 or T == 0:
+        return tf_n, tf_a
+    lens = toks.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return tf_n, tf_a
+    row_idx = np.repeat(np.arange(n), lens)
+    flat = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(total) - np.repeat(starts, lens)
+    keep = np.isin(flat, np.asarray(terms, dtype=object))
+    rf, ff, pf = row_idx[keep], flat[keep], pos[keep]
+    for ti, t in enumerate(terms):
+        mt = ff == t
+        if not mt.any():
+            continue
+        nm = mt & (pf < name_len)
+        am = mt & (pf >= name_len)
+        if nm.any():
+            tf_n[:, ti] += np.bincount(rf[nm], minlength=n)
+        if am.any():
+            tf_a[:, ti] += np.bincount(rf[am], minlength=n)
+    return tf_n, tf_a
 
 
 def _collect_stats(ds, query_terms, id_col, text_col, name_len):
@@ -139,8 +200,21 @@ def _collect_stats(ds, query_terms, id_col, text_col, name_len):
         rows = {"n_docs": [len(batch)],
                 "sum_name_len": [int(name_len_s.sum())],
                 "sum_addr_len": [int(addr_len_s.sum())]}
+        # per-term df via one explode + distinct + value_counts
+        # (vectorized; no per-row membership loop)
+        lens = toks.str.len().to_numpy(np.int64)
+        if lens.sum() and qset:
+            e = pd.DataFrame({
+                "r": np.repeat(np.arange(len(batch)), lens),
+                "t": np.concatenate(
+                    [np.asarray(ws, dtype=object) for ws in toks]
+                ),
+            })
+            vc = e[e["t"].isin(qset)].drop_duplicates()["t"].value_counts()
+        else:
+            vc = pd.Series(dtype=np.int64)
         for t in qset:
-            rows[f"df__{t}"] = [int(toks.map(lambda ws: t in ws).sum())]
+            rows[f"df__{t}"] = [int(vc.get(t, 0))]
         return pd.DataFrame(rows)
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -161,20 +235,23 @@ def bm25f_score(ds, query_terms: list[str], id_col="doc_id", text_col="text",
     """Pass 2: per-doc BM25F score (reference scoring.go:29-76)."""
     stats = _collect_stats(ds, query_terms, id_col, text_col, name_len)
 
+    uniq = sorted(set(query_terms))
+
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
-        names = toks.map(lambda ws: ws[:name_len])
-        addrs = toks.map(lambda ws: ws[name_len:])
+        tfm_n, tfm_a = _tf_matrix(toks, uniq, name_len)
+        nt = toks.str.len().to_numpy(dtype=np.float64)
+        ln = np.minimum(nt, name_len)
+        la = np.maximum(nt - name_len, 0.0)
         s = np.zeros(len(batch))
         for t in query_terms:
             df = stats["df"][t]
             if df == 0:
                 continue
+            ti = uniq.index(t)
             idf = np.log10(stats["N"] - df + 0.5) - np.log10(df + 0.5)
-            tf_n = names.map(lambda ws: ws.count(t)).to_numpy(dtype=np.float64)
-            tf_a = addrs.map(lambda ws: ws.count(t)).to_numpy(dtype=np.float64)
-            ln = names.str.len().to_numpy(dtype=np.float64)
-            la = addrs.str.len().to_numpy(dtype=np.float64)
+            tf_n = tfm_n[:, ti]
+            tf_a = tfm_a[:, ti]
             w_n = NAME_WEIGHT * (tf_n / (1 + NAME_B * (ln / stats["avg_name"] - 1)))
             # reference uses NAME_B for the address field too (scoring.go:60)
             w_a = ADDRESS_WEIGHT * np.where(
@@ -192,16 +269,19 @@ def bm25plus_score(ds, query_terms: list[str], id_col="doc_id", text_col="text")
     """BM25+ (reference scoring.go:143-181, incl. its (K1+1)+tf numerator)."""
     stats = _collect_stats(ds, query_terms, id_col, text_col, name_len=0)
 
+    uniq = sorted(set(query_terms))
+
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
         dl = toks.str.len().to_numpy(dtype=np.float64)
+        tfm, _ = _tf_matrix(toks, uniq, name_len=1 << 30)  # single field
         s = np.zeros(len(batch))
         for t in query_terms:
             df = stats["df"][t]
             if df == 0:
                 continue
             idf = np.log10(stats["N"] + 1) - np.log10(df)
-            tf = toks.map(lambda ws: ws.count(t)).to_numpy(dtype=np.float64)
+            tf = tfm[:, uniq.index(t)]
             contrib = idf * (
                 DELTA + ((K1 + 1) + tf) / (K1 * (1 - B + B * dl / stats["avg_doc"]) + tf)
             )
@@ -220,16 +300,19 @@ def tfidf_score(ds, query_terms: list[str], id_col="doc_id", text_col="text"):
     for t in query_terms:
         q_count[t] = q_count.get(t, 0) + 1
 
+    uniq = sorted(set(query_terms))
+
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
+        tfm, _ = _tf_matrix(toks, uniq, name_len=1 << 30)  # single field
         s = np.zeros(len(batch))
-        for t in sorted(set(query_terms)):  # deterministic FP sum order
+        for t in uniq:  # deterministic FP sum order
             df = stats["df"][t]
             if df == 0:
                 continue
             idf = np.log10(stats["N"]) - np.log10(df)
             tfq = (1 + np.log10(q_count[t])) * idf
-            tf = toks.map(lambda ws: ws.count(t)).to_numpy(dtype=np.float64)
+            tf = tfm[:, uniq.index(t)]
             with np.errstate(divide="ignore"):
                 tfd = np.where(tf > 0, (1 + np.log10(np.maximum(tf, 1))) * idf, 0.0)
             s += tfd * tfq
@@ -240,15 +323,158 @@ def tfidf_score(ds, query_terms: list[str], id_col="doc_id", text_col="text"):
 
 
 def top_k(score_ds, k: int, offset: int = 0):
-    """Global top-k by (score desc, doc_id asc) — K1 page semantics."""
-    df = (
-        score_ds.sort(["score", "doc_id"], descending=[True, False])
-        .limit(offset + k)
-        .to_pandas()
+    """Global top-k by (score desc, doc_id asc) — K1 page semantics.
+
+    Per-block partial top-(offset+k) combiner -> tiny driver merge of
+    O(blocks * (k+offset)) rows: no all-to-all sort for a k<=10 answer
+    (same plan as the kNN partial-top-k)."""
+    kk = offset + k
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["score", "doc_id"], ascending=[False, True],
+                             kind="mergesort").head(kk)
+
+    parts = score_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        .iloc[offset:kk]
+        .reset_index(drop=True)
     )
-    out = df.iloc[offset : offset + k].reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def score_multi(ds, query_terms: dict, scoring: str = "bm25f",
+                id_col="doc_id", text_col="text", name_len: int = 3):
+    """Score a BATCH of queries in exactly TWO corpus scans total:
+
+      scan 1 — shared stats (N, avg lengths, df) over the UNION of all
+               queries' terms;
+      scan 2 — per-doc per-UNION-term contribution matrix, then every
+               query's score = the ordered sum of its terms' columns
+               (duplicate query terms multiply the column — x+x == 2x in
+               IEEE, so parity with the sequential per-query loop holds).
+
+    `query_terms`: {query_id: [terms...]}.  Returns a Dataset of
+    (query_id, doc_id, score != 0).  This replaces the
+    2-scans-x-queries(x-candidates) plan the per-query scorers imply —
+    the scan count no longer grows with the query batch.
+    """
+    union = sorted({t for ts in query_terms.values() for t in ts})
+    stats = _collect_stats(ds, union, id_col, text_col,
+                           name_len if scoring == "bm25f" else 0)
+    # per-query (term -> multiplicity), in sorted-term order
+    q_mult = {
+        qid: {t: ts.count(t) for t in sorted(set(ts))}
+        for qid, ts in query_terms.items()
+    }
+
+    def contribution_matrix(toks, dl):
+        """C[:, ti] = one occurrence's score contribution of union[ti]."""
+        n = len(toks)
+        C = np.zeros((n, len(union)))
+        if scoring == "bm25f":
+            tfm_n, tfm_a = _tf_matrix(toks, union, name_len)
+            ln = np.minimum(dl, name_len)
+            la = np.maximum(dl - name_len, 0.0)
+        else:
+            tfm, _ = _tf_matrix(toks, union, name_len=1 << 30)
+        for ti, t in enumerate(union):
+            df = stats["df"][t]
+            if df == 0:
+                continue
+            if scoring == "bm25f":
+                idf = np.log10(stats["N"] - df + 0.5) - np.log10(df + 0.5)
+                tf_n, tf_a = tfm_n[:, ti], tfm_a[:, ti]
+                w_n = NAME_WEIGHT * (
+                    tf_n / (1 + NAME_B * (ln / stats["avg_name"] - 1))
+                )
+                w_a = ADDRESS_WEIGHT * np.where(
+                    la > 0, tf_a / (1 + NAME_B * (la / stats["avg_addr"] - 1)), 0.0
+                )
+                C[:, ti] = (
+                    np.where(tf_n > 0, w_n / (K1_BM25F + w_n), 0.0) * idf
+                    + np.where(tf_a > 0, w_a / (K1_BM25F + w_a), 0.0) * idf
+                )
+            elif scoring == "bm25plus":
+                idf = np.log10(stats["N"] + 1) - np.log10(df)
+                tf = tfm[:, ti]
+                contrib = idf * (
+                    DELTA
+                    + ((K1 + 1) + tf)
+                    / (K1 * (1 - B + B * dl / stats["avg_doc"]) + tf)
+                )
+                C[:, ti] = np.where(tf > 0, contrib, 0.0)
+            else:  # tfidf dot product; query weight applied per query below
+                idf = np.log10(stats["N"]) - np.log10(df)
+                tf = tfm[:, ti]
+                C[:, ti] = np.where(
+                    tf > 0, (1 + np.log10(np.maximum(tf, 1))) * idf, 0.0
+                )
+        return C
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize_series(batch[text_col])
+        dl = toks.str.len().to_numpy(dtype=np.float64)
+        C = contribution_matrix(toks, dl)
+        frames = []
+        for qid, mult in q_mult.items():
+            s = np.zeros(len(batch))
+            for t, m in mult.items():  # sorted-term FP sum order
+                ti = union.index(t)
+                if scoring == "tfidf":
+                    df = stats["df"][t]
+                    if df == 0:
+                        continue
+                    idf = np.log10(stats["N"]) - np.log10(df)
+                    w = (1 + np.log10(m)) * idf
+                else:
+                    w = float(m)
+                s += C[:, ti] * w
+            nz = s != 0.0
+            if nz.any():
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "doc_id": batch[id_col].to_numpy()[nz],
+                    "score": s[nz],
+                }))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def top_k_multi(score_ds, k_by_query: dict):
+    """Per-query page slice over a (query_id, doc_id, score) Dataset.
+    `k_by_query`: {query_id: (k, offset)}.  Per-block partial
+    top-(k+offset) per query -> driver merge of O(blocks * Q * kmax)
+    rows -> vectorized cumcount slice.  Returns a DataFrame
+    (query_id, rank, doc_id, score)."""
+    kmax = max((k + off) for k, off in k_by_query.values()) if k_by_query else 0
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return b.groupby("query_id", sort=False).head(kmax)
+
+    parts = score_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"query_id": [], "rank": [], "doc_id": [],
+                             "score": []})
+    parts = parts.sort_values(["query_id", "score", "doc_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    rn = parts.groupby("query_id", sort=False).cumcount()
+    ko = parts["query_id"].map({q: ko for q, ko in k_by_query.items()})
+    off = ko.map(lambda p: p[1]).to_numpy()
+    kk = ko.map(lambda p: p[0]).to_numpy()
+    keep = (rn.to_numpy() >= off) & (rn.to_numpy() < off + kk)
+    out = parts.loc[keep, ["query_id", "doc_id", "score"]].copy()
+    out["rank"] = (rn.to_numpy()[keep] - off[keep] + 1).astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -270,9 +496,10 @@ def ngram_pairs(batch: pd.DataFrame, n: int, id_col="doc_id", text_col="text",
 
 
 def ngram_counts(ds, n: int, id_col="doc_id", text_col="text", pad: bool = True,
-                 combine="driver"):
-    """Distributed n-gram counting: per-batch partial dict -> small sum
-    (result bounded by distinct n-grams; see stages/agg.py)."""
+                 combine="shuffle"):
+    """Distributed n-gram counting: per-batch partial dict -> distributed
+    sum over partials (n-gram keyspaces are unbounded at corpus scale;
+    see stages/agg.py for the combine modes)."""
     from .agg import two_phase_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -283,7 +510,7 @@ def ngram_counts(ds, n: int, id_col="doc_id", text_col="text", pad: bool = True,
 
 
 def ngram_counts_multi(ds, n_max: int = 4, text_col="text", pad: bool = True,
-                       combine="driver"):
+                       combine="shuffle"):
     """All n-gram orders 1..n_max in ONE scan (the reference runs 4
     parallel goroutines over the same data, ngram_lm.go:345-370; one
     pass emitting (n, ngram) partials is strictly cheaper).  Returns
@@ -318,7 +545,7 @@ def ngram_counts_multi(ds, n_max: int = 4, text_col="text", pad: bool = True,
 
 
 def vocab_with_min_freq(ds, min_freq: int = 2, id_col="doc_id", text_col="text",
-                        combine="driver"):
+                        combine="shuffle"):
     """A6: terms with collection frequency >= min_freq (others -> <UNK>)."""
     from .agg import two_phase_agg
 

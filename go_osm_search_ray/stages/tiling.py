@@ -102,8 +102,12 @@ def partial_tile_counts(batch: pa.Table, key_col: str = "tile_id") -> pa.Table:
 
 def salted_tile_counts(ds, key_col: str = "tile_id", combine="driver"):
     """Skew-safe exact per-tile counts: partial per-batch combine (which
-    collapses hot cells inside each block) -> small final combine
-    (bounded by cell count; see stages/agg.py for the combine modes)."""
+    collapses hot cells inside each block) -> small final combine.
+
+    combine="driver" is deliberate here — the key space is PROVABLY
+    bounded by the grid (4^res cells, 16k at res 7), the one case the
+    driver combine is for (see stages/agg.py).  Pass "shuffle" for
+    resolutions where 4^res stops being driver-sized (res >= ~12)."""
     from .agg import two_phase_agg
 
     def partial(b):

@@ -127,6 +127,44 @@ def images_dataset(n: int, seed: int = 42, parallelism: int = -1):
     )
 
 
+def images_from_keys(keys: np.ndarray, img_side: int = 8) -> pa.Table:
+    """T1-schema image rows derived from int64 table keys with
+    SQL-MIRRORABLE math (no 64-bit mixing): pixel (x=col, y=row)
+
+        r = (key*3 + x*7  + y*11) % 256
+        g = (key*5 + x*13 + y*3 ) % 256
+        b = (key*7 + x*11 + y*5 ) % 256
+
+    geo key: phash = latlon_to_phash(point_from_key(key)) — the same
+    +0.5/100 derivation the DuckDB oracles reproduce, through the
+    phash 2^-32 quantization.  Payload is REAL PNG (codecs.encode), so
+    a pipeline that decodes these proves the codec end-to-end against a
+    pure-SQL pixel-math oracle that never touches the codec."""
+    k = np.asarray(keys, dtype=np.int64)
+    lat, lon = geo.point_from_key(k)
+    phash = latlon_to_phash(lat, lon)
+    side = img_side
+    yy, xx = np.mgrid[0:side, 0:side]
+    blobs = []
+    for kk in k.tolist():
+        r = ((kk * 3 + xx * 7 + yy * 11) % 256).astype(np.uint8)
+        g = ((kk * 5 + xx * 13 + yy * 3) % 256).astype(np.uint8)
+        b = ((kk * 7 + xx * 11 + yy * 5) % 256).astype(np.uint8)
+        blobs.append(codecs.encode(np.stack([r, g, b], axis=-1), "png"))
+    n = len(k)
+    return pa.table(
+        {
+            "image_id": pa.array([f"img{kk:010d}" for kk in k.tolist()], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array([side] * n, pa.int32()),
+            "h": pa.array([side] * n, pa.int32()),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "caption": pa.array([f"caption {kk}" for kk in k.tolist()], pa.string()),
+            "phash": pa.array(phash, pa.int64()),
+        }
+    )
+
+
 def polygons_table(n_polygons: int = 64, seed: int = 42) -> pa.Table:
     """T2 admin polygons: convex fans around seeded centers, plus a few
     world-tiling rectangles so every point matches >=1 polygon."""

@@ -114,6 +114,25 @@ class TestJaccardAndMinhash:
         # every reported pair genuinely passes the threshold
         assert (got["jaccard"] >= 0.5).all()
 
+    def test_jaccard_hot_shingle_cap(self):
+        """Planted hot key: many docs sharing one shingle.  With max_df
+        the hot group emits no pairs (bounded work); docs ALSO sharing
+        rare shingles still pair up."""
+        import ray.data as rd
+
+        hot = "aaa bbb ccc"  # one shared trigram across every doc
+        rows = [{"doc_id": i, "text": f"{hot} unique{i} only{i} word{i}"}
+                for i in range(300)]
+        # two docs sharing a RARE shingle chain too (a real near-dup)
+        rows.append({"doc_id": 9000, "text": "xxx yyy zzz www vvv"})
+        rows.append({"doc_id": 9001, "text": "xxx yyy zzz www uuu"})
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+        got = dedup.jaccard_pairs(ds, threshold=0.4, max_df=50).to_pandas()
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        assert (9000, 9001) in pairs
+        # the hot shingle alone (capped out) creates no pair
+        assert all(a >= 9000 for a, _ in pairs)
+
     def test_simhash_near_dups(self):
         import ray.data as rd
 
@@ -185,6 +204,30 @@ class TestEmbeddings:
             if ids[i] < ids[j] and sims[i, j] >= 0.9
         }
         assert set(zip(got["id_a"], got["id_b"])) == want
+
+    def test_dup_pairs_lsh_finds_planted(self):
+        """LSH path: planted near-identical vectors (cosine ~0.9999)
+        must be caught; every reported pair genuinely passes the
+        threshold (exact in-bucket verify)."""
+        import ray.data as rd
+
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()[["vec_id", "embedding"]]
+        rng = np.random.default_rng(3)
+        extra = []
+        for i in range(5):
+            v = np.asarray(df["embedding"].iloc[i], dtype=np.float64)
+            extra.append(
+                {"vec_id": 100000 + i,
+                 "embedding": (v + rng.normal(0, 0.01, len(v))).tolist()}
+            )
+        df = pd.concat([df, pd.DataFrame(extra)], ignore_index=True)
+        ds = rd.from_pandas(df).repartition(3)
+        got = embed.embedding_dup_pairs(ds, threshold=0.9, method="lsh").to_pandas()
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        base_ids = df["vec_id"].head(5).tolist()
+        for i in range(5):
+            assert (int(base_ids[i]), 100000 + i) in pairs
+        assert (got["cosine"] >= 0.9).all()
 
     def test_ivf_assign_buckets(self):
         import ray.data as rd

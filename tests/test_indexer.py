@@ -35,7 +35,7 @@ class TestIndexer:
         p = idx.postings(["hash", "scan"])
         assert set(p["term"]) == {"hash", "scan"}
         # postings agree with a fresh distributed computation
-        df = text.term_df(factory()).set_index("term")["df"]
+        df = text.term_df(factory()).to_pandas().set_index("term")["df"]
         for r in p.itertuples():
             assert len(r.postings) == df[r.term] == r.df
             assert list(r.postings) == sorted(r.postings)

@@ -58,7 +58,7 @@ class TestFullTextSearch:
 
         factory, corrector, docs = self.corpus()
         got = set(
-            search.boolean_and(rd.from_pandas(docs), ["jalan", "kebun"])["doc_id"]
+            search.boolean_and(rd.from_pandas(docs), ["jalan", "kebun"]).to_pandas()["doc_id"]
         )
         toks = text.tokenize_series(docs["text"])
         want = {

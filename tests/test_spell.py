@@ -240,7 +240,7 @@ class TestReferenceSpimiGolden:
         assert got["harapan"] == [0, 1]
         assert got["kebun"] == [3, 4]
         assert got["sentosa"] == [0]
-        df = text.term_df(rd.from_pandas(docs)).set_index("term")["df"]
+        df = text.term_df(rd.from_pandas(docs)).to_pandas().set_index("term")["df"]
         assert df["jalan"] == 4 and df["kebun"] == 2
 
 

@@ -52,7 +52,7 @@ class TestPostings:
         import ray.data as rd
 
         ds = rd.read_parquet(f"{SF}/documents.parquet")
-        got_df = text.term_df(ds).set_index("term")["df"]
+        got_df = text.term_df(ds).to_pandas().set_index("term")["df"]
         toks = text.tokenize_series(docs["text"])
         want = {}
         for d, ws in zip(docs["doc_id"], toks):
@@ -156,7 +156,7 @@ class TestNgrams:
         import ray.data as rd
 
         ds = rd.read_parquet(f"{SF}/documents.parquet")
-        got = text.ngram_counts(ds, 2).set_index("ngram")["n"]
+        got = text.ngram_counts(ds, 2).to_pandas().set_index("ngram")["n"]
         want = {}
         for ws in text.tokenize_series(docs["text"]):
             seq = [text.START_TOKEN] * 2 + list(ws) + [text.END_TOKEN]
@@ -171,7 +171,7 @@ class TestNgrams:
         import ray.data as rd
 
         ds = rd.read_parquet(f"{SF}/documents.parquet")
-        got = text.ngram_counts(ds, 1).set_index("ngram")["n"]
+        got = text.ngram_counts(ds, 1).to_pandas().set_index("ngram")["n"]
         assert got[text.START_TOKEN] == len(docs)
         assert got[text.END_TOKEN] == len(docs)
 
@@ -179,7 +179,7 @@ class TestNgrams:
         import ray.data as rd
 
         ds = rd.read_parquet(f"{SF}/documents.parquet")
-        got = set(text.vocab_with_min_freq(ds, 2)["term"])
+        got = set(text.vocab_with_min_freq(ds, 2).to_pandas()["term"])
         counts = {}
         for ws in text.tokenize_series(docs["text"]):
             for w in ws:
