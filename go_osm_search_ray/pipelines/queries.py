@@ -451,11 +451,14 @@ def q_bm25f_topk(sf_dir: str):
     return _round6(out, ["score"])
 
 
-def _sql_bm25f() -> str:
+def _sql_bm25f(terms: list[str] | None = None, k: int = 10) -> str:
     """Mirror of text.bm25f_score (incl. the reference's NAME_B-for-both
-    quirk).  name = first 3 tokens, address = rest."""
+    quirk).  name = first 3 tokens, address = rest.  Parameterized on
+    the (sorted-order-summed) term list so the search-pipeline oracles
+    can reuse it per corrected query."""
+    terms = BM25_TERMS if terms is None else terms
     per_term = []
-    for t in BM25_TERMS:
+    for t in terms:
         per_term.append(f"""
           (CASE WHEN s.df_{t} > 0 AND d.tfn_{t} > 0 THEN
              (20.0*(d.tfn_{t}/(1+0.95*(d.ln/s.avg_name-1))))
@@ -468,11 +471,11 @@ def _sql_bm25f() -> str:
     tf_cols = ", ".join(
         f"CAST(len(list_filter(tok[1:3], x -> x = '{t}')) AS DOUBLE) AS tfn_{t},"
         f" CAST(len(list_filter(tok[4:], x -> x = '{t}')) AS DOUBLE) AS tfa_{t}"
-        for t in BM25_TERMS
+        for t in terms
     )
     df_cols = ", ".join(
         f"CAST(SUM(CASE WHEN list_contains(tok, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
-        for t in BM25_TERMS
+        for t in terms
     )
     score = " + ".join(per_term)
     return f"""
@@ -491,7 +494,7 @@ scored AS (SELECT d.doc_id, ({score}) AS score FROM d CROSS JOIN s),
 ranked AS (SELECT doc_id, score,
                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
            FROM scored WHERE score != 0.0)
-SELECT rank, doc_id, round(score, 6) AS score FROM ranked WHERE rank <= 10
+SELECT rank, doc_id, round(score, 6) AS score FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1194,47 +1197,208 @@ def q_autocomplete(sf_dir: str):
     return _round6(out, ["score"])
 
 
-def q_image_decode_stats(sf_dir: str):
-    """Multimodal actor-pool stage over the synthetic image table."""
-    from .. import synth
-    from ..stages import images
+# The end-to-end search oracles PIN the deterministic correction the
+# spell model produces on this corpus ('hsah merge' -> 'hash merge',
+# 'scann tabel' -> 'scan table'; autocomplete 'hash mer' -> the single
+# candidate 'hash merge' since 'merge' is the only vocab word with that
+# prefix): the SQL replays the post-correction BM25F page, so a silent
+# behavior change in the corrector OR the scorer hash-mismatches.
+SQL_SEARCH_FULLTEXT = f"""
+SELECT CAST(0 AS BIGINT) AS query_id, 'hash merge' AS corrected,
+       rank, doc_id, score
+FROM ({_sql_bm25f(["hash", "merge"])})
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'scan table', rank, doc_id, score
+FROM ({_sql_bm25f(["scan", "table"])})
+"""
 
-    ds = synth.images_dataset(2000, seed=42)
-    return images.decode_stats(ds, concurrency=2)
-
-
-def q_image_ahash(sf_dir: str):
-    from .. import synth
-    from ..stages import images
-
-    ds = synth.images_dataset(2000, seed=42)
-    return images.average_hash(ds, concurrency=2).select_columns(
-        ["image_id", "ahash"]
-    )
-
-
-def q_image_tile_pipeline(sf_dir: str):
-    """Flagship over the deterministic synthetic image table (the
-    north-rule workload; not derivable from the SQL views)."""
-    from .. import synth
-    from . import flagship
-
-    images = synth.images_dataset(5000, seed=42)
-    polygons = synth.polygons_table(40, seed=42)
-    joined = flagship.tile_and_join(images, polygons, concurrency=2)
-    return joined.select_columns(["image_id", "tile_id", "polygon_id", "part"])
-
-
-def q_minhash_pairs(sf_dir: str):
-    return dedup.minhash_lsh_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2
-    )
+SQL_AUTOCOMPLETE = f"""
+SELECT CAST(0 AS BIGINT) AS query_id, 'hash merge' AS candidate_query,
+       rank, doc_id, score
+FROM ({_sql_bm25f(["hash", "merge"])})
+"""
 
 
 def q_simhash_signatures(sf_dir: str):
     return dedup.simhash_signatures(
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
     )
+
+
+def _sql_simhash() -> str:
+    """Bit-exact SQL mirror of dedup.simhash_signatures: md5-derived
+    64-bit token hashes (little-endian first 8 digest bytes, decoded
+    from the hex string via strpos), tf-weighted per-bit votes, int64
+    two's-complement pack."""
+    hexv = "strpos('0123456789abcdef', {c}) - 1"
+    hi = hexv.format(c="substr(hx, (u.k // 8) * 2 + 1, 1)")
+    lo = hexv.format(c="substr(hx, (u.k // 8) * 2 + 2, 1)")
+    return f"""
+WITH tf AS (SELECT d.doc_id, t.term, COUNT(*) AS c
+            FROM documents d, unnest({TOK}) AS t(term) GROUP BY 1, 2),
+hx AS (SELECT doc_id, term, c, md5(term) AS hx FROM tf),
+bits AS (SELECT doc_id, u.k AS k,
+                ((({hi}) * 16 + ({lo})) >> (u.k % 8)) & 1 AS bit, c
+         FROM hx, unnest(range(0, 64)) AS u(k)),
+acc AS (SELECT doc_id, k,
+               SUM(CASE WHEN bit = 1 THEN c ELSE -c END) AS a
+        FROM bits GROUP BY 1, 2),
+sig AS (SELECT doc_id, k, CASE WHEN a > 0 THEN 1 ELSE 0 END AS b FROM acc)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN k < 63
+                     THEN b * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                     ELSE 0 END)
+            - SUM(CASE WHEN k = 63 THEN b ELSE 0 END) * 9223372036854775807
+            - SUM(CASE WHEN k = 63 THEN b ELSE 0 END) AS BIGINT) AS simhash
+FROM sig GROUP BY doc_id
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def _key_images(sf_dir: str, table: str, key_col: str):
+    """REAL-PNG image rows derived from a parquet table's int keys
+    (synth.images_from_keys pixel math is SQL-mirrorable)."""
+    from .. import synth
+
+    keys = read_table(sf_dir, table, columns=[key_col])
+    return keys.map_batches(
+        lambda b: synth.images_from_keys(b[key_col].to_numpy()),
+        batch_format="pyarrow",
+    )
+
+
+SQL_IMG_ID = "'img' || lpad(CAST(k AS VARCHAR), 10, '0')"
+SQL_IMG_PX = """
+  SELECT CAST(p_partkey AS BIGINT) AS k, ux.x AS x, uy.y AS y,
+         (CAST(p_partkey AS BIGINT)*3 + ux.x*7  + uy.y*11) % 256 AS r,
+         (CAST(p_partkey AS BIGINT)*5 + ux.x*13 + uy.y*3 ) % 256 AS g,
+         (CAST(p_partkey AS BIGINT)*7 + ux.x*11 + uy.y*5 ) % 256 AS b
+  FROM part, unnest(range(0, 8)) AS ux(x), unnest(range(0, 8)) AS uy(y)
+"""
+
+
+def q_image_decode_stats(sf_dir: str):
+    """Multimodal decode proof: key-derived REAL PNG payloads decoded
+    through the codec in an actor pool; integer per-channel pixel sums
+    hash-match a pure-SQL pixel-math oracle that never decodes."""
+    from ..stages import images
+
+    return _key_images(sf_dir, "part", "p_partkey").map_batches(
+        images.DecodeSums, batch_format="pyarrow", batch_size=1024,
+        concurrency=2,
+    )
+
+
+SQL_IMAGE_DECODE_STATS = f"""
+WITH px AS ({SQL_IMG_PX})
+SELECT {SQL_IMG_ID} AS image_id,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY 1
+"""
+
+
+def q_image_ahash(sf_dir: str):
+    """Integer-exact average hash: decode -> (r+g+b) grid -> threshold
+    64*cell > total -> little-endian int64 bit pack (two's complement),
+    mirrored bit-for-bit in SQL."""
+    from ..stages import images
+
+    out = _key_images(sf_dir, "part", "p_partkey").map_batches(
+        images.AverageHashInt, batch_format="pyarrow", batch_size=1024,
+        concurrency=2,
+    )
+    return out.select_columns(["image_id", "ahash_int"])
+
+
+SQL_IMAGE_AHASH = f"""
+WITH px AS ({SQL_IMG_PX}),
+g3 AS (SELECT k, y*8 + x AS idx, r + g + b AS v FROM px),
+tot AS (SELECT k, SUM(v) AS total FROM g3 GROUP BY k),
+bits AS (SELECT g3.k, g3.idx,
+                CASE WHEN 64*g3.v > t.total THEN 1 ELSE 0 END AS b
+         FROM g3 JOIN tot t ON t.k = g3.k)
+SELECT {SQL_IMG_ID} AS image_id,
+       CAST(SUM(CASE WHEN idx < 63
+                     THEN b * (CAST(1 AS BIGINT) << CAST(idx AS INTEGER))
+                     ELSE 0 END)
+            - SUM(CASE WHEN idx = 63 THEN b ELSE 0 END) * 9223372036854775807
+            - SUM(CASE WHEN idx = 63 THEN b ELSE 0 END) AS BIGINT) AS ahash_int
+FROM bits GROUP BY 1
+"""
+
+
+def q_image_tile_pipeline(sf_dir: str):
+    """The north-rule flagship (tile assignment + PIP join + coarse
+    partition key) over key-derived REAL-payload images — SQL-oracled
+    end to end, including the phash 2^-32 quantization roundtrip."""
+    from . import flagship
+
+    imgs = _key_images(sf_dir, "orders", "o_orderkey")
+    joined = flagship.tile_and_join(imgs, nation_rects(sf_dir),
+                                    concurrency=2, attach_meta=False)
+    return joined.select_columns(["image_id", "tile_id", "polygon_id", "part"])
+
+
+def _sql_image_tile() -> str:
+    # phash quantization roundtrip: float op order matches
+    # synth.latlon_to_phash -> geo.phash_to_latlon exactly
+    lat0, lon0 = sql_lat("k"), sql_lon("k")
+    return f"""
+WITH keys AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+q AS (SELECT k,
+        FLOOR(LEAST(GREATEST(({lat0}+90.0)/180.0*4294967296.0, 0), 4294967295)) AS hi,
+        FLOOR(LEAST(GREATEST(({lon0}+180.0)/360.0*4294967296.0, 0), 4294967295)) AS lo
+      FROM keys),
+p AS (SELECT k, hi/4294967296.0*180.0 - 90.0 AS lat,
+             lo/4294967296.0*360.0 - 180.0 AS lon FROM q),
+t AS (SELECT k, lat, lon, {sql_tile('lat', 'lon', 7)} AS tile_id FROM p),
+r AS ({SQL_NATION_RECTS})
+SELECT {SQL_IMG_ID} AS image_id, t.tile_id,
+       (t.tile_id // 128 // 32) * 4 + ((t.tile_id % 128) // 32) AS part,
+       MIN(r.polygon_id) AS polygon_id
+FROM t JOIN r ON t.lat BETWEEN r.lat0 AND r.lat1 AND t.lon BETWEEN r.lon0 AND r.lon1
+GROUP BY 1, 2, 3
+"""
+
+
+SQL_IMAGE_TILE = _sql_image_tile()
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs.  The SQL oracle is the EXACT-Jaccard
+    self-join at the same threshold: the engine's exact-verify stage
+    guarantees precision 1, and on this corpus (fixed permutation seed,
+    16 bands x 8 rows) LSH recall is empirically 1, so the outputs
+    coincide — a recall regression hash-mismatches.  (In general LSH
+    recall < 1; that is its contract, not a bug.)"""
+    out = dedup.minhash_lsh_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2
+    )
+    return out.map_batches(
+        lambda b: b.assign(jaccard=b["jaccard"].round(6)), batch_format="pandas"
+    )
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS shingle
+       FROM toks, unnest(range(1, GREATEST(len(t)-1, 2))) AS u(i)
+       WHERE len(t) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       round(CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.2
+"""
 
 
 def q_ivf_assign(sf_dir: str):
@@ -1308,13 +1472,17 @@ def registry():
         "knn_cell": (q_knn_cell, SQL_KNN_CELL),
         "full_address": (q_full_address, SQL_FULL_ADDRESS),
         # rows-only (non-SQL-expressible)
-        "image_tile_pipeline": (q_image_tile_pipeline, None),
-        "minhash_pairs": (q_minhash_pairs, None),
-        "simhash_signatures": (q_simhash_signatures, None),
+        "image_tile_pipeline": (q_image_tile_pipeline, SQL_IMAGE_TILE),
+        "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+        "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH),
+        # ivf_assign stays rows-only: the coarse quantizer is 5 Lloyd
+        # iterations of driver-side float k-means — iterative centroid
+        # updates are not SQL-expressible; correctness is pytest-proven
+        # (assignment == brute argmin vs the same centroids)
         "ivf_assign": (q_ivf_assign, None),
         "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
-        "search_fulltext": (q_search_fulltext, None),
-        "autocomplete": (q_autocomplete, None),
-        "image_decode_stats": (q_image_decode_stats, None),
-        "image_ahash": (q_image_ahash, None),
+        "search_fulltext": (q_search_fulltext, SQL_SEARCH_FULLTEXT),
+        "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
+        "image_decode_stats": (q_image_decode_stats, SQL_IMAGE_DECODE_STATS),
+        "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
     }
