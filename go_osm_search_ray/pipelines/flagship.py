@@ -25,11 +25,16 @@ PARTITION_RES = 2  # 4x4 = 16 output partitions (coarse parent of tile_id);
 
 def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES,
                   concurrency=None, include_ahash: bool = False,
-                  carry_payload: bool = True, attach_meta: bool = True):
+                  carry_payload: bool = True, attach_meta: bool = True,
+                  check_invariants: bool = False):
     """images Dataset -> + (lat, lon, tile_id, part, polygon_id, region
     meta [, ahash]).  include_ahash adds the decode -> perceptual-hash
     stage (stages/images.py) — the multimodal leg of the headline
-    pipeline; it also proves the payload decodes after every stage."""
+    pipeline; it also proves the payload decodes after every stage.
+    check_invariants wraps every payload-carrying stage with the
+    north-rule per-row checker (caption equality + decoded-pixel
+    PSNR >= 40 dB; stages/images.with_payload_invariant) — validation
+    mode, decodes each image per stage."""
 
     def derive(batch: pa.Table) -> pa.Table:
         batch = tiling.derive_phash_latlon(batch)
@@ -37,11 +42,19 @@ def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES
         part = geo.tile_parent(batch["tile_id"].to_numpy(), res, PARTITION_RES)
         return batch.append_column("part", pa.array(part, pa.int64()))
 
+    def guarded(fn):
+        if not check_invariants:
+            return fn
+        from ..stages.images import with_payload_invariant
+
+        return with_payload_invariant(fn)
+
     ds = images_ds
     if include_ahash:
         from ..stages.images import AverageHash
 
-        ds = ds.map_batches(AverageHash(), batch_format="pyarrow", batch_size=2048)
+        ds = ds.map_batches(guarded(AverageHash()), batch_format="pyarrow",
+                            batch_size=2048)
     if not carry_payload:
         # slim the rows once the payload has been consumed (decoded/
         # hashed): the tile-assignment output references image_id, the
@@ -53,7 +66,7 @@ def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES
             return batch.drop_columns([c for c in drop if c in batch.column_names])
 
         ds = ds.map_batches(slim, batch_format="pyarrow")
-    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.map_batches(guarded(derive), batch_format="pyarrow")
     return pip.pip_join(ds, polygons, tile_res=res, concurrency=concurrency,
                         attach_meta=attach_meta)
 

@@ -1159,6 +1159,58 @@ WHERE list_contains({TOK}, 'hash') AND list_contains({TOK}, 'scan')
 """
 
 
+def q_boolean_or(sf_dir: str):
+    """D2 OR (engine-canonical completion of boolean_query.go:135-141)."""
+    from . import search
+
+    return search.boolean_or(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        ["hash", "scan"],
+    )
+
+
+SQL_BOOLEAN_OR = f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOK}, 'hash') OR list_contains({TOK}, 'scan')
+"""
+
+
+def q_boolean_and_not(sf_dir: str):
+    """D2 AND-NOT (engine-canonical completion)."""
+    from . import search
+
+    return search.boolean_and_not(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        ["hash", "merge"], ["scan"],
+    )
+
+
+SQL_BOOLEAN_AND_NOT = f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOK}, 'hash') AND list_contains({TOK}, 'merge')
+  AND NOT list_contains({TOK}, 'scan')
+"""
+
+
+def q_knn_cell_unbounded(sf_dir: str):
+    """K3 unbounded incremental kNN via iterative ring expansion
+    (knn_cell_join_unbounded; reference rtree.go:685-723) — no radius
+    bound, matched against the plain brute-force SQL kNN."""
+    import ray.data as rd
+
+    queries_ds = rd.from_arrow(supplier_queries(sf_dir, k=5))
+    out = knn.knn_cell_join_unbounded(
+        orders_points(sf_dir), queries_ds, k=5, res=5
+    ).to_pandas()
+    out = out[["query_id", "rank", "point_id", "dist_km"]]
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["point_id"] = out["point_id"].astype(np.int64)
+    return _round6(out, ["dist_km"])
+
+
+SQL_KNN_CELL_UNBOUNDED = _sql_knn("", 5, 0, "s_suppkey*13+7")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent)
 
@@ -1469,7 +1521,10 @@ def registry():
         "event_type_users": (q_event_type_users, SQL_EVENT_TYPE_USERS),
         "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
         "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
+        "boolean_or": (q_boolean_or, SQL_BOOLEAN_OR),
+        "boolean_and_not": (q_boolean_and_not, SQL_BOOLEAN_AND_NOT),
         "knn_cell": (q_knn_cell, SQL_KNN_CELL),
+        "knn_cell_unbounded": (q_knn_cell_unbounded, SQL_KNN_CELL_UNBOUNDED),
         "full_address": (q_full_address, SQL_FULL_ADDRESS),
         # rows-only (non-SQL-expressible)
         "image_tile_pipeline": (q_image_tile_pipeline, SQL_IMAGE_TILE),

@@ -132,3 +132,48 @@ def boolean_and(docs_ds, terms: list[str], id_col="doc_id", text_col="text"):
     # streaming filter; the result Dataset holds only the matching ids
     counts = two_phase_agg(docs_ds, pairs, [id_col], ["hits"], combine="shuffle")
     return counts.filter(expr=f"hits == {len(tset)}").select_columns([id_col])
+
+
+def boolean_or(docs_ds, terms: list[str], id_col="doc_id", text_col="text"):
+    """D2 OR: docs containing ANY query term.  The reference declares OR
+    (boolean_query.go:135-141) but never implements it — this is the
+    engine-canonical completion: distinct filtered (term, doc) pairs ->
+    distributed distinct on doc_id."""
+    tset = {t for t in terms}
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        p = text_stage.postings_pairs(b, id_col, text_col)
+        return p[p["term"].isin(tset)][[id_col]].drop_duplicates()
+
+    ids = docs_ds.map_batches(pairs, batch_format="pandas")
+    return ids.groupby(id_col).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def boolean_and_not(docs_ds, include: list[str], exclude: list[str],
+                    id_col="doc_id", text_col="text"):
+    """D2 NOT (same engine-canonical completion): docs containing ALL
+    `include` terms and NONE of `exclude` — both hit counts in ONE scan,
+    distributed combine, streaming filter (the anti-join never
+    materializes)."""
+    inc = {t for t in include}
+    exc = {t for t in exclude}
+
+    def hits(b: pd.DataFrame) -> pd.DataFrame:
+        p = text_stage.postings_pairs(b, id_col, text_col)
+        i = p[p["term"].isin(inc)][id_col].value_counts()
+        e = p[p["term"].isin(exc)][id_col].value_counts()
+        merged = pd.DataFrame({"inc": i, "exc": e}).fillna(0).astype(np.int64)
+        merged.index.name = id_col
+        return merged.reset_index()
+
+    from ..stages.agg import two_phase_agg
+
+    counts = two_phase_agg(docs_ds, hits, [id_col], ["inc", "exc"],
+                           combine="shuffle")
+    want = len(inc)
+    return counts.map_batches(
+        lambda b: b[(b["inc"] == want) & (b["exc"] == 0)][[id_col]],
+        batch_format="pandas",
+    )

@@ -196,6 +196,55 @@ class EmbedImage:
         )
 
 
+class PayloadInvariantError(AssertionError):
+    pass
+
+
+def with_payload_invariant(stage_fn, psnr_min: float = 40.0):
+    """Wrap a batch-level image stage with the north-rule per-row
+    invariant: for every image_id the stage emits, `caption` must equal
+    the input's caption, and if the stage rewrote `bytes` the decoded
+    pixels must match the input's at PSNR >= psnr_min (exact payloads
+    short-circuit on byte equality).  Raises PayloadInvariantError
+    inside the worker, failing the pipeline loudly.
+
+    Opt-in (flagship `check_invariants=True`): the check decodes every
+    image twice, so it is a validation mode, not the hot path."""
+    from .. import codecs
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        in_cols = batch.column_names
+        has_bytes = "bytes" in in_cols
+        has_cap = "caption" in in_cols
+        before = {
+            batch["image_id"][i].as_py(): (
+                batch["bytes"][i].as_py() if has_bytes else None,
+                batch["fmt"][i].as_py() if has_bytes else None,
+                batch["caption"][i].as_py() if has_cap else None,
+            )
+            for i in range(batch.num_rows)
+        }
+        out = stage_fn(batch)
+        cols = out.column_names
+        for i in range(out.num_rows):
+            iid = out["image_id"][i].as_py()
+            b0, f0, c0 = before[iid]
+            if has_cap and "caption" in cols and out["caption"][i].as_py() != c0:
+                raise PayloadInvariantError(f"caption changed for {iid}")
+            if has_bytes and "bytes" in cols:
+                b1 = out["bytes"][i].as_py()
+                f1 = out["fmt"][i].as_py() if "fmt" in cols else f0
+                if b1 != b0:
+                    p = codecs.psnr(codecs.decode(b0, f0), codecs.decode(b1, f1))
+                    if p < psnr_min:
+                        raise PayloadInvariantError(
+                            f"PSNR {p:.1f} dB < {psnr_min} for {iid}"
+                        )
+        return out
+
+    return wrapped
+
+
 def decode_stats(images_ds, concurrency=(1, 4), batch_size: int = 1024):
     return images_ds.map_batches(DecodeStats, batch_format="pyarrow",
                                  batch_size=batch_size, concurrency=concurrency)

@@ -200,9 +200,10 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
     return out.reset_index(drop=True)
 
 
-def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
+def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
                   res: int = 6, point_id_col: str = "point_id",
-                  batch_size: int = 4096):
+                  batch_size: int = 4096, ring_radius: int | None = None,
+                  with_meta: bool = False):
     """Cell-partitioned kNN for LARGE query sides (millions of queries).
 
     The broadcast plan above needs the query table to fit in every
@@ -217,11 +218,19 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
       4. groupby(query_id) merges bucket partials -> exact top-k within
          `radius_km`
 
-    Semantics = kNN with a mandatory radius bound (rtree.go:656-682);
-    unbounded kNN needs iterative ring expansion on top of this.
-    Returns (query_id, rank, point_id, dist_km).
+    Semantics = kNN with a radius bound (rtree.go:656-682); for
+    UNBOUNDED kNN use `knn_cell_join_unbounded` (iterative ring
+    expansion on top of this — pass `ring_radius` to pin the covering
+    ring explicitly and `radius_km=None` to skip the distance filter).
+    with_meta=True carries (q_lat, q_lon) through to the output rows
+    (the expansion loop needs them for the guarantee test).
+    Returns (query_id, rank, point_id, dist_km) — rank only when the
+    radius path finalizes (ring rounds finalize in the caller).
     """
     import pandas as pd
+
+    if radius_km is None and ring_radius is None:
+        raise ValueError("need radius_km or an explicit ring_radius")
 
     def explode_queries(b: pd.DataFrame) -> pd.DataFrame:
         lat = b["lat"].to_numpy()
@@ -230,7 +239,10 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
         rows = {"cell": [], "query_id": [], "q_lat": [], "q_lon": []}
         n_axis = 1 << res
         for i in range(len(b)):
-            r = min(geo.cells_for_radius_km(lat[i], res, radius_km), n_axis // 2)
+            r = ring_radius if ring_radius is not None else min(
+                geo.cells_for_radius_km(lat[i], res, radius_km), n_axis // 2
+            )
+            r = min(r, n_axis)
             ring = np.unique(geo.tile_ring(np.array([tiles[i]]), res, r)[0])
             rows["cell"].extend(ring.tolist())
             rows["query_id"].extend([b["query_id"].iloc[i]] * len(ring))
@@ -257,17 +269,22 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
     def local_topk(g: pd.DataFrame) -> pd.DataFrame:
         qs = g[g["side"] == "q"]
         ps = g[g["side"] == "p"]
+        meta_cols = (["q_lat", "q_lon"] if with_meta else [])
+        empty = {"query_id": [], point_id_col: [], "dist_km": [],
+                 **{c: [] for c in meta_cols}}
         if len(qs) == 0 or len(ps) == 0:
-            return pd.DataFrame({"query_id": [], point_id_col: [], "dist_km": []})
+            return pd.DataFrame(empty)
         d = geo.haversine_km(
             qs["q_lat"].to_numpy()[:, None], qs["q_lon"].to_numpy()[:, None],
             ps["lat"].to_numpy()[None, :], ps["lon"].to_numpy()[None, :],
         )
-        out_q, out_p, out_d = [], [], []
+        out_q, out_p, out_d, out_la, out_lo = [], [], [], [], []
         pid = ps[point_id_col].to_numpy()
         for i in range(len(qs)):
-            mask = d[i] <= radius_km
-            idx = np.nonzero(mask)[0]
+            if radius_km is not None:
+                idx = np.nonzero(d[i] <= radius_km)[0]
+            else:
+                idx = np.arange(d.shape[1])
             keep = min(k, len(idx))
             if keep == 0:
                 continue
@@ -276,17 +293,26 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
             out_q.extend([qs["query_id"].iloc[i]] * len(top))
             out_p.extend(pid[top].tolist())
             out_d.extend(d[i][top].tolist())
-        return pd.DataFrame({"query_id": out_q, point_id_col: out_p,
-                             "dist_km": out_d})
+            if with_meta:
+                out_la.extend([qs["q_lat"].iloc[i]] * len(top))
+                out_lo.extend([qs["q_lon"].iloc[i]] * len(top))
+        out = {"query_id": out_q, point_id_col: out_p, "dist_km": out_d}
+        if with_meta:
+            out["q_lat"] = out_la
+            out["q_lon"] = out_lo
+        return pd.DataFrame(out)
 
     partials = (
         q_tag.union(p_tag)
         .groupby("cell")
         .map_groups(local_topk, batch_format="pandas")
     )
+    if with_meta:
+        # ring mode: the expansion loop finalizes (it needs candidate
+        # counts + the guarantee test before ranking)
+        return partials
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        # a point can reach a query via several ring cells -> dedup
         g = g.drop_duplicates(subset=[point_id_col])
         g = g.sort_values(["dist_km", point_id_col], kind="mergesort").head(k)
         g = g.copy()
@@ -294,6 +320,92 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float, k: int,
         return g
 
     return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+def _ring_guarantee_km(lat: np.ndarray, res: int, r: int) -> np.ndarray:
+    """Largest distance D such that EVERY point within D of a query at
+    `lat` is guaranteed inside the Chebyshev ring of radius r around the
+    query's cell.  Lat direction: a point (r-1) full cell-heights away
+    can never leave the ring; lon direction uses the worst (most
+    compressed) latitude the ring itself reaches — conservative, and it
+    degrades to 0 near the poles, where only a full-grid ring (r >= n)
+    terminates the expansion."""
+    n = 1 << res
+    km = 111.19492664455873
+    dlat_deg = 180.0 / n
+    lat_worst = np.minimum(89.999, np.abs(lat) + (r + 1) * dlat_deg)
+    dlon_km = 360.0 / n * km * np.maximum(np.cos(np.radians(lat_worst)), 0.0)
+    dlat_km = dlat_deg * km
+    return np.maximum(0.0, r - 1) * np.minimum(dlat_km, dlon_km)
+
+
+def knn_cell_join_unbounded(points_ds, queries_ds, k: int, res: int = 6,
+                            point_id_col: str = "point_id",
+                            max_rounds: int = 32):
+    """Unbounded-k cell-partitioned kNN — the reference's incremental
+    best-first NN (rtree.go:685-723) as ITERATIVE RING EXPANSION:
+
+      round r: gather candidates from the Chebyshev ring of radius r
+      around each pending query's cell; a query FINISHES when it has k
+      candidates whose k-th distance is within the ring's guarantee
+      radius (no point outside the ring can beat the current k-th), or
+      when the ring covers the whole grid.  Unfinished queries double r
+      and re-join; finished ones exit the loop.
+
+    Per round the shuffle moves only pending queries x ring cells +
+    their candidate partials; pending sets are materialized between
+    rounds (bounded by query count) so earlier rounds don't re-execute.
+    Returns (query_id, rank, point_id, dist_km), exact.
+    """
+    n_axis = 1 << res
+    results = []
+    pending = queries_ds.materialize()
+
+    r = 1
+    for _ in range(max_rounds):
+        full_grid = r >= n_axis
+        joined = knn_cell_join(
+            points_ds, pending, radius_km=None, k=k, res=res,
+            point_id_col=point_id_col, ring_radius=r, with_meta=True,
+        )
+
+        def split(g: pd.DataFrame, _r=r, _full=full_grid) -> pd.DataFrame:
+            g = g.drop_duplicates(subset=[point_id_col])
+            g = g.sort_values(["dist_km", point_id_col], kind="mergesort")
+            top = g.head(k).copy()
+            dk = top["dist_km"].iloc[-1] if len(top) else np.inf
+            guar = _ring_guarantee_km(
+                np.array([g["q_lat"].iloc[0]]), res, _r
+            )[0]
+            done = bool(_full or (len(top) >= k and dk <= guar))
+            top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+            top["final"] = done
+            return top
+
+        round_out = joined.groupby("query_id").map_groups(
+            split, batch_format="pandas"
+        ).materialize()
+        done_part = round_out.map_batches(
+            lambda b: b[b["final"]].drop(columns=["final", "q_lat", "q_lon"]),
+            batch_format="pandas",
+        )
+        results.append(done_part)
+        still = round_out.map_batches(
+            lambda b: b[~b["final"]], batch_format="pandas"
+        )
+        if still.count() == 0:
+            break
+        pending = still.groupby("query_id").map_groups(
+            lambda g: g.head(1)[["query_id", "q_lat", "q_lon"]].rename(
+                columns={"q_lat": "lat", "q_lon": "lon"}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        r *= 2
+    out = results[0]
+    for extra in results[1:]:
+        out = out.union(extra)
+    return out.select_columns(["query_id", "rank", point_id_col, "dist_km"])
 
 
 # ---------------------------------------------------------------------------

@@ -335,6 +335,49 @@ class TestKNNCellJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestKNNCellUnbounded:
+    def test_matches_brute_no_radius(self):
+        """Ring expansion terminates with the EXACT unbounded top-k,
+        including queries near the poles (worst longitude compression)
+        and isolated queries whose neighbors are rings away."""
+        import ray.data as rd
+
+        points = make_points(2000, seed=52)
+        rng = np.random.default_rng(53)
+        qn = 12
+        lat = np.concatenate([rng.uniform(-60, 60, qn - 4),
+                              np.array([88.5, -88.5, 0.0, 45.0])])
+        lon = np.concatenate([rng.uniform(-170, 170, qn - 4),
+                              np.array([170.0, -170.0, 0.0, 90.0])])
+        queries = pa.table(
+            {
+                "query_id": pa.array(np.arange(qn), pa.int64()),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+                "k": pa.array([5] * qn, pa.int64()),
+            }
+        )
+        got = (
+            knn.knn_cell_join_unbounded(
+                rd.from_arrow(points).repartition(4),
+                rd.from_arrow(queries).repartition(2),
+                k=5, res=5,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            brute_knn(points, queries),
+            columns=["query_id", "rank", "point_id", "dist_km"],
+        )
+        got = got[["query_id", "rank", "point_id", "dist_km"]]
+        got["query_id"] = got["query_id"].astype(np.int64)
+        got["point_id"] = got["point_id"].astype(np.int64)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestFenceIndex:
     def test_crud_and_epochs(self):
         import ray.data as rd

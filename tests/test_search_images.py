@@ -113,6 +113,53 @@ class TestImageStages:
             assert len(r["embedding"]) == 48
             assert all(0.0 <= v <= 1.0 for v in r["embedding"])
 
+    def test_flagship_payload_invariant_checker(self):
+        """North rule: the flagship runs with the per-row invariant
+        checker on (caption equality + PSNR >= 40 dB through every
+        payload-carrying stage)."""
+        from go_osm_search_ray import synth
+        from go_osm_search_ray.pipelines import flagship
+
+        images = synth.images_dataset(300, seed=7)
+        polygons = synth.polygons_table(30, seed=7)
+        out = flagship.tile_and_join(images, polygons, include_ahash=True,
+                                     check_invariants=True)
+        df = out.to_pandas()
+        assert len(df) == 300
+        assert "ahash" in df.columns and "caption" in df.columns
+
+    def test_payload_invariant_checker_catches_corruption(self):
+        import pyarrow as pa
+
+        from go_osm_search_ray import synth
+        from go_osm_search_ray.stages import images as istages
+
+        batch = synth.images_dataset(8, seed=9).take_batch(8, batch_format="pyarrow")
+
+        def corrupt_caption(b: pa.Table) -> pa.Table:
+            cap = ["oops"] * b.num_rows
+            return b.drop_columns(["caption"]).append_column(
+                "caption", pa.array(cap, pa.string())
+            )
+
+        with pytest.raises(istages.PayloadInvariantError):
+            istages.with_payload_invariant(corrupt_caption)(batch)
+
+        def corrupt_bytes(b: pa.Table) -> pa.Table:
+            from go_osm_search_ray import codecs
+
+            blobs = []
+            for blob, fmt in zip(b["bytes"].to_pylist(), b["fmt"].to_pylist()):
+                img = codecs.decode(blob, fmt)
+                img = np.ascontiguousarray(255 - img)  # hard corruption
+                blobs.append(codecs.png_encode(img))
+            out = b.drop_columns(["bytes", "fmt"])
+            return out.append_column("bytes", pa.array(blobs, pa.binary())) \
+                      .append_column("fmt", pa.array(["png"] * b.num_rows))
+
+        with pytest.raises(istages.PayloadInvariantError):
+            istages.with_payload_invariant(corrupt_bytes)(batch)
+
     def test_external_codec_stub_raises(self):
         with pytest.raises(NotImplementedError):
             images._decode(b"GIF89a....", "gif")
