@@ -83,7 +83,7 @@ def warm_workers():
     ).count()
 
 
-def run_flagship(out_dir: str) -> tuple[float, int]:
+def run_flagship(out_dir: str, write: bool = True) -> tuple[float, int]:
     import ray.data as rd
 
     from go_osm_search_ray import synth
@@ -93,12 +93,20 @@ def run_flagship(out_dir: str) -> tuple[float, int]:
     shutil.rmtree(out_dir, ignore_errors=True)
     images = rd.read_parquet(IMAGE_CACHE)
     t0 = time.perf_counter()
-    manifest = flagship.run_flagship(
-        images, polygons, out_dir, input_files=[IMAGE_CACHE],
-        include_ahash=True, carry_payload=False, collect_stats="light",
-    )
+    if write:
+        manifest = flagship.run_flagship(
+            images, polygons, out_dir, input_files=[IMAGE_CACHE],
+            include_ahash=True, carry_payload=False, collect_stats="light",
+        )
+        assert len(manifest["partitions"]) > 0
+    else:
+        # no-IO variant: identical compute pipeline, sink replaced by a
+        # count — isolates the write/manifest share of the scaling gap
+        n = flagship.tile_and_join(
+            images, polygons, include_ahash=True, carry_payload=False,
+        ).count()
+        assert n == FLAGSHIP_N
     dt = time.perf_counter() - t0
-    assert len(manifest["partitions"]) > 0
     return dt, FLAGSHIP_N
 
 
@@ -159,9 +167,10 @@ def main_bench() -> dict:
     return result
 
 
-def run_child(ncpu: int) -> dict:
+def run_child(ncpu: int, nowrite: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-               GRAFT_BENCH_MODE="flagship_only")
+               GRAFT_BENCH_MODE="flagship_only",
+               GRAFT_NOWRITE="1" if nowrite else "0")
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                          capture_output=True, text=True, check=True).stdout
     return json.loads(out.strip().splitlines()[-1])
@@ -172,7 +181,8 @@ def main_scaling() -> dict:
     r_lo = run_child(lo)
     r_hi = run_child(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
+    eff_med = (r_lo["median_sec"] / r_hi["median_sec"]) / (hi / lo)
+    out = {
         "metric": "flagship rows/sec scaling (fresh processes, same input)",
         "unit": "sec",
         "value": r_hi["value"],
@@ -181,9 +191,23 @@ def main_scaling() -> dict:
         f"rows_per_sec_{lo}": r_lo["flagship_rows_per_sec"],
         f"rows_per_sec_{hi}": r_hi["flagship_rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        f"runs_{lo}": r_lo["runs"],
+        f"runs_{hi}": r_hi["runs"],
+        f"median_sec_{lo}": r_lo["median_sec"],
+        f"median_sec_{hi}": r_hi["median_sec"],
+        "scaling_efficiency_median": round(eff_med, 3),
         "flagship_rows": r_hi["flagship_rows"],
         "num_cpus": hi,
     }
+    if "--noio" in sys.argv:
+        n_lo = run_child(lo, nowrite=True)
+        n_hi = run_child(hi, nowrite=True)
+        out["noio_sec_8"] = n_lo["value"]
+        out["noio_sec_32"] = n_hi["value"]
+        out["scaling_efficiency_noio"] = round(
+            (n_lo["value"] / n_hi["value"]) / (hi / lo), 3
+        )
+    return out
 
 
 def main_flagship_only() -> dict:
@@ -198,12 +222,18 @@ def main_flagship_only() -> dict:
     ctx.target_max_block_size = 16 * 1024 * 1024
     ensure_image_cache()
     warm_workers()
-    sec, rows = min((run_flagship(f"/tmp/graft_flagship_out_{NUM_CPUS}")
-                     for _ in range(3)), key=lambda t: t[0])
+    nowrite = os.environ.get("GRAFT_NOWRITE") == "1"
+    runs = sorted(
+        round(run_flagship(f"/tmp/graft_flagship_out_{NUM_CPUS}",
+                           write=not nowrite)[0], 3)
+        for _ in range(3)
+    )
+    sec, rows = runs[0], FLAGSHIP_N
     ray.shutdown()
     return {
-        "metric": "flagship sec", "value": round(sec, 3), "unit": "sec",
+        "metric": "flagship sec", "value": sec, "unit": "sec",
         "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "runs": runs, "median_sec": runs[1],
         "flagship_rows": rows,
         "flagship_rows_per_sec": round(rows / sec, 1),
     }

@@ -1011,27 +1011,31 @@ FROM s GROUP BY 1, 2
 
 def q_event_type_users(sf_dir: str):
     """COUNT DISTINCT, fully distributed: per-batch distinct pairs ->
-    keyed-shuffle distinct on (event_type, user_id) -> per-batch partial
-    counts -> tiny groupby(event_type) sum.  Nothing unbounded ever
-    lands on the driver (the pair space is O(users x types))."""
-    from ray.data.aggregate import Sum
+    bucket-hash shuffle on the pair key (a cheap 64-group sort; every
+    pair lands in exactly one bucket) -> per-bucket vectorized distinct
+    + partial counts -> tiny 5-key sum.  Nothing unbounded ever lands
+    on the driver (the pair space is O(users x types))."""
+    from ..stages.agg import two_phase_agg
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     pairs = ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
-    distinct = pairs.groupby(["event_type", "user_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        vc = b["event_type"].value_counts()
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[["event_type", "user_id"]], index=False)
+        return b.assign(_bucket=h.to_numpy() % 64)
+
+    def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.drop(columns=["_bucket"]).drop_duplicates()["event_type"].value_counts()
         return pd.DataFrame({"event_type": vc.index,
                              "n_users": vc.to_numpy(np.int64)})
 
-    out = (
-        distinct.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("n_users", alias_name="n_users"))
+    partials = (
+        pairs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(distinct_partial, batch_format="pandas")
     )
+    out = two_phase_agg(partials, lambda b: b, ["event_type"], ["n_users"],
+                        combine="shuffle")
     return out.map_batches(
         lambda b: b.assign(n_users=b["n_users"].astype(np.int64)),
         batch_format="pandas",

@@ -22,21 +22,40 @@ from __future__ import annotations
 import pandas as pd
 
 
-def two_phase_agg(ds, partial_fn, keys, sums, combine: str = "shuffle"):
+def two_phase_agg(ds, partial_fn, keys, sums, combine: str = "shuffle",
+                  n_buckets: int = 64):
     """partial_fn: batch -> partial rows with `keys` + `sums` columns.
     Returns aggregated result with SUM over each column in `sums`.
 
-    combine="shuffle" (default): distributed Ray groupby — returns a
-    Dataset; safe for unbounded key spaces.  combine="driver": small
-    final pandas combine — returns a DataFrame; ONLY for provably
-    bounded key spaces (see module docstring).
+    combine="shuffle" (default): distributed BUCKET-HASH combine —
+    partials shuffle on hash(keys) % n_buckets (a cheap 64-group sort,
+    NOT a sort over the full key space: this Ray version's sort-based
+    groupby degrades badly with group count, ~25 s for 100k groups),
+    then each bucket runs one vectorized pandas groupby-sum.  Returns a
+    Dataset; safe for unbounded key spaces — size n_buckets to the
+    cluster, every bucket holds only its hash slice of the keys.
+    combine="driver": small final pandas combine — returns a DataFrame;
+    ONLY for provably bounded key spaces (see module docstring).
     """
     partials = ds.map_batches(partial_fn, batch_format="pandas")
     if combine == "shuffle":
-        from ray.data.aggregate import Sum
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return b.assign(_bucket=pd.Series([], dtype="uint64"))
+            h = pd.util.hash_pandas_object(b[list(keys)], index=False)
+            return b.assign(_bucket=h.to_numpy() % n_buckets)
 
-        return partials.groupby(keys).aggregate(
-            *[Sum(c, alias_name=c) for c in sums]
+        def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return (
+                g.drop(columns=["_bucket"])
+                .groupby(list(keys), sort=False, as_index=False)[list(sums)]
+                .sum()
+            )
+
+        return (
+            partials.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(combine_bucket, batch_format="pandas")
         )
     pdf = partials.to_pandas()
     if len(pdf) == 0:

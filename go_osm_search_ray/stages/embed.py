@@ -256,11 +256,12 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
              nprobe: int = 2, id_col: str = "vec_id",
              concurrency=2, batch_size: int = 4096):
     """Approximate top-k via IVF probing: each query searches only the
-    `nprobe` nearest centroid buckets.  The corpus dataset must NOT be
-    pre-bucketed — buckets are computed per batch and rows outside every
-    probed bucket are skipped before the similarity matmul (at scale the
-    corpus is PARTITIONED by `ivf_assign`'s bucket column and the filter
-    becomes partition pruning at the read).
+    `nprobe` nearest centroid buckets.  If the corpus carries an
+    `ivf_bucket` column (pre-partitioned via `ivf_assign`) it is used
+    directly — at scale that column is the partition key and the filter
+    becomes partition pruning at the read; otherwise buckets are
+    computed per batch and rows outside every probed bucket are skipped
+    before the similarity matmul.
 
     Returns (query_id, rank, vec_id, cosine) like cosine_topk; recall
     vs brute force depends on nprobe (tested >= 0.9 at nprobe=3/8).
@@ -270,12 +271,13 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
     qm = np.asarray(queries["embedding"], dtype=np.float64)
     qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
     probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # Q x nprobe
-    wanted = [set(p.tolist()) for p in probe]
-    all_wanted = set().union(*wanted) if wanted else set()
+    wanted = [np.unique(p) for p in probe]  # sorted arrays for np.isin
+    all_wanted = (np.unique(np.concatenate(wanted)) if wanted
+                  else np.array([], dtype=np.int64))
     ref_c = ray.put(centroids)
     ref_q = ray.put({"query_id": list(queries["query_id"]),
                      "embedding": qm / np.linalg.norm(qm, axis=1, keepdims=True),
-                     "wanted": wanted})
+                     "wanted": wanted, "all_wanted": all_wanted})
 
     class Probe:
         def __init__(self):
@@ -284,12 +286,19 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
             self.q_ids = np.asarray(q["query_id"])
             self.qm = q["embedding"]
             self.wanted = q["wanted"]
+            self.all_wanted = q["all_wanted"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _to_matrix(batch["embedding"])
-            d = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
-            bucket = d.argmin(1)
-            keep = np.isin(bucket, list(all_wanted))
+            if "ivf_bucket" in batch.column_names:
+                # pre-partitioned corpus (ivf_assign ran upstream; at
+                # scale this column IS the partition key and the filter
+                # becomes partition pruning at the read)
+                bucket = batch["ivf_bucket"].to_numpy()
+            else:
+                d = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
+                bucket = d.argmin(1)
+            keep = np.isin(bucket, self.all_wanted)
             if not keep.any():
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  id_col: pa.array([], pa.int64()),
@@ -302,7 +311,7 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
             sims = self.qm @ m.T
             out_q, out_i, out_s = [], [], []
             for qi in range(len(self.q_ids)):
-                mask = np.isin(bucket, list(self.wanted[qi]))
+                mask = np.isin(bucket, self.wanted[qi])
                 mask &= ids != self.q_ids[qi]
                 idx = np.nonzero(mask)[0]
                 kk = min(k, len(idx))

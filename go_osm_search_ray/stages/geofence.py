@@ -96,18 +96,19 @@ class FenceEvaluator:
         # matters (each selected fence is evaluated independently), but a
         # distance TIE at the nth boundary must resolve like the SQL
         # oracle's ORDER BY dist, fence_id — the broadcast fence table is
-        # fence_id-sorted, so lexsort on (column position, a) is exactly
-        # that tie-break.  Exact per-pair math then runs only on (E, n).
+        # fence_id-sorted, so (a, column position) tie-break is exactly
+        # that.  Exact per-pair math then runs only on (E, n).
         if n < nf:
-            # cache-sized event chunks
+            # cache-sized event chunks; argpartition fast path with
+            # exact tie handling only where ties straddle the cut
+            from .knn import topk_cols_exact
+
             chunk = max(1, 131072 // max(nf, 1))
             parts = []
-            pos = np.arange(nf)
             for e0 in range(0, B, chunk):
                 a = geo.hav_matrix(lat[e0 : e0 + chunk], lon[e0 : e0 + chunk],
                                    self.f_lat, self.f_lon)
-                posm = np.broadcast_to(pos, a.shape)
-                parts.append(np.lexsort((posm, a), axis=-1)[:, :n])
+                parts.append(topk_cols_exact(a, n))
             kth = np.concatenate(parts, axis=0)
         else:
             kth = np.broadcast_to(np.arange(nf), (B, nf)).copy()

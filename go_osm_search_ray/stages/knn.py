@@ -27,6 +27,29 @@ import pyarrow as pa
 from .. import geo
 
 
+def topk_cols_exact(a: np.ndarray, n: int, sec: np.ndarray | None = None):
+    """Per-row column indices of the n smallest entries with EXACT
+    (value, tie-key) semantics at the boundary: argpartition fast path;
+    only rows whose boundary-value ties actually straddle the cut are
+    re-done with a lexsort.  Tie-key = column position by default (pass
+    `sec` for an explicit per-cell key).  Membership is exact; order
+    WITHIN the returned selection is arbitrary — downstream re-sorts."""
+    if n >= a.shape[1]:
+        return np.broadcast_to(np.arange(a.shape[1]), a.shape).copy()
+    part = np.argpartition(a, n - 1, axis=1)[:, :n]
+    vals = np.take_along_axis(a, part, axis=1)
+    vb = vals.max(axis=1)
+    tie_total = (a == vb[:, None]).sum(axis=1)
+    tie_sel = (vals == vb[:, None]).sum(axis=1)
+    amb = np.nonzero(tie_total != tie_sel)[0]
+    if len(amb):
+        s = (sec[amb] if sec is not None
+             else np.broadcast_to(np.arange(a.shape[1]),
+                                  (len(amb), a.shape[1])))
+        part[amb] = np.lexsort((s, a[amb]), axis=-1)[:, :n]
+    return part
+
+
 class KNNPartial:
     """Actor-pool stage: per-batch partial top-k of corpus points
     against every broadcast query."""
@@ -105,18 +128,18 @@ class KNNPartial:
             if has_r.any():
                 np.putmask(a, a > thr[:, None], big)
             kc = min(kmax, a.shape[1])
-            # lexsort secondary key = column position = id rank (batch is
-            # id-sorted), primary = a: the exact (dist, id) cut
-            pos = np.broadcast_to(np.arange(a.shape[1]), a.shape)
-            t = np.lexsort((pos, a), axis=-1)[:, :kc]
+            # exact (dist, id-rank) membership at the cut: column
+            # position IS the id rank (batch pre-sorted by id);
+            # argpartition fast path, lexsort only on tie-straddle rows
+            t = topk_cols_exact(a, kc)
             acc_a = np.concatenate([acc_a, np.take_along_axis(a, t, axis=1)], axis=1)
             acc_i = np.concatenate([acc_i, t + s0], axis=1)
             if acc_a.shape[1] > 4 * kmax:
-                t2 = np.lexsort((acc_i, acc_a), axis=-1)[:, :kmax]
+                t2 = topk_cols_exact(acc_a, kmax, sec=acc_i)
                 acc_a = np.take_along_axis(acc_a, t2, axis=1)
                 acc_i = np.take_along_axis(acc_i, t2, axis=1)
         if acc_a.shape[1] > kmax:
-            t2 = np.lexsort((acc_i, acc_a), axis=-1)[:, :kmax]
+            t2 = topk_cols_exact(acc_a, kmax, sec=acc_i)
             acc_a = np.take_along_axis(acc_a, t2, axis=1)
             acc_i = np.take_along_axis(acc_i, t2, axis=1)
         valid = acc_a < big
