@@ -33,6 +33,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 FLAGSHIP_N = int(os.environ.get("GRAFT_FLAGSHIP_N", "4000000"))
 IMAGE_CACHE = f"/tmp/graft_images_n{FLAGSHIP_N}_seed42"
+# 8 MiB measured better than 16 at both 8 and 32 CPUs (more, smoother
+# task waves on the fused map+write chain; see BASELINE.md round-2 notes)
+BLOCK_MB = int(os.environ.get("GRAFT_BLOCK_MB", "8"))
 
 BENCH_QUERIES = [
     "tile_assign", "tile_histogram", "pip_join", "knn_join",
@@ -101,13 +104,37 @@ def run_flagship(out_dir: str, write: bool = True) -> tuple[float, int]:
         assert len(manifest["partitions"]) > 0
     else:
         # no-IO variant: identical compute pipeline, sink replaced by a
-        # count — isolates the write/manifest share of the scaling gap
-        n = flagship.tile_and_join(
+        # materialize — isolates the write/manifest share of the scaling
+        # gap AND exposes per-operator remote CPU totals: the ratio of
+        # total remote CPU seconds between two parallelism levels (same
+        # work!) is the pure-compute contention ceiling, independent of
+        # task packing
+        m = flagship.tile_and_join(
             images, polygons, include_ahash=True, carry_payload=False,
-        ).count()
-        assert n == FLAGSHIP_N
+        ).materialize()
+        dt = time.perf_counter() - t0
+        global _LAST_CPU_TOTAL
+        _LAST_CPU_TOTAL = _parse_cpu_total(m.stats())
+        assert m.count() == FLAGSHIP_N
+        return dt, FLAGSHIP_N
     dt = time.perf_counter() - t0
     return dt, FLAGSHIP_N
+
+
+_LAST_CPU_TOTAL = None
+
+
+def _parse_cpu_total(stats: str) -> float:
+    """Sum of 'Remote cpu time: ... total' across operators, seconds."""
+    import re
+
+    total = 0.0
+    for m in re.finditer(
+        r"Remote cpu time:.*?([\d.]+)(ms|s|m)(?:in)? total", stats
+    ):
+        v, unit = float(m.group(1)), m.group(2)
+        total += v / 1000.0 if unit == "ms" else v * 60.0 if unit == "m" else v
+    return round(total, 2)
 
 
 def consume(out) -> None:
@@ -140,7 +167,7 @@ def main_bench() -> dict:
     ctx.enable_progress_bars = False
     # smaller blocks -> more, smoother task waves (tail latency) on the
     # fused map+write chain
-    ctx.target_max_block_size = 16 * 1024 * 1024
+    ctx.target_max_block_size = BLOCK_MB * 1024 * 1024
 
     ensure_image_cache()
     warm_workers()
@@ -202,11 +229,19 @@ def main_scaling() -> dict:
     if "--noio" in sys.argv:
         n_lo = run_child(lo, nowrite=True)
         n_hi = run_child(hi, nowrite=True)
-        out["noio_sec_8"] = n_lo["value"]
-        out["noio_sec_32"] = n_hi["value"]
+        out[f"noio_sec_{lo}"] = n_lo["value"]
+        out[f"noio_sec_{hi}"] = n_hi["value"]
         out["scaling_efficiency_noio"] = round(
             (n_lo["value"] / n_hi["value"]) / (hi / lo), 3
         )
+        if "cpu_total_sec" in n_lo and "cpu_total_sec" in n_hi:
+            # same work at both levels: the CPU-second inflation IS the
+            # pure-compute contention ceiling, independent of packing
+            out[f"cpu_total_sec_{lo}"] = n_lo["cpu_total_sec"]
+            out[f"cpu_total_sec_{hi}"] = n_hi["cpu_total_sec"]
+            out["compute_ceiling_efficiency"] = round(
+                n_lo["cpu_total_sec"] / n_hi["cpu_total_sec"], 3
+            )
     return out
 
 
@@ -219,24 +254,30 @@ def main_flagship_only() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.target_max_block_size = 16 * 1024 * 1024
+    ctx.target_max_block_size = BLOCK_MB * 1024 * 1024
     ensure_image_cache()
     warm_workers()
     nowrite = os.environ.get("GRAFT_NOWRITE") == "1"
-    runs = sorted(
-        round(run_flagship(f"/tmp/graft_flagship_out_{NUM_CPUS}",
-                           write=not nowrite)[0], 3)
-        for _ in range(3)
-    )
+    runs, cpu_totals = [], []
+    for _ in range(3):
+        sec, _rows = run_flagship(f"/tmp/graft_flagship_out_{NUM_CPUS}",
+                                  write=not nowrite)
+        runs.append(round(sec, 3))
+        if nowrite and _LAST_CPU_TOTAL is not None:
+            cpu_totals.append(_LAST_CPU_TOTAL)
+    runs = sorted(runs)
     sec, rows = runs[0], FLAGSHIP_N
     ray.shutdown()
-    return {
+    out = {
         "metric": "flagship sec", "value": sec, "unit": "sec",
         "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
         "runs": runs, "median_sec": runs[1],
         "flagship_rows": rows,
         "flagship_rows_per_sec": round(rows / sec, 1),
     }
+    if cpu_totals:
+        out["cpu_total_sec"] = min(cpu_totals)
+    return out
 
 
 if __name__ == "__main__":

@@ -50,9 +50,27 @@ def png_encode(rgb: np.ndarray, level: int = 6) -> bytes:
 
 
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode a PNG produced by :func:`png_encode` (8-bit RGB, filter 0)."""
+    """Decode a PNG produced by :func:`png_encode` (8-bit RGB, filter 0).
+
+    Returns a READ-ONLY view over the decompressed buffer (no copy):
+    per-image allocation churn is the measured scaling bottleneck of the
+    decode stage at high worker counts — callers that need to mutate
+    must copy.  Fast path: our own encoder emits exactly
+    SIG|IHDR|IDAT|IEND, so the chunk offsets are fixed; anything else
+    falls back to the general chunk walk."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
+    # fast path: single IDAT at the fixed offset our encoder produces
+    if data[37:41] == b"IDAT" and data[12:16] == b"IHDR":
+        w, h, depth, color = struct.unpack_from(">IIBB", data, 16)
+        if depth == 8 and color == 2:
+            (ln,) = struct.unpack_from(">I", data, 33)
+            raw = np.frombuffer(
+                zlib.decompress(data[41 : 41 + ln]), dtype=np.uint8
+            ).reshape(h, 1 + w * 3)
+            if (raw[:, 0] != 0).any():
+                raise NotImplementedError("only filter 0 supported")
+            return raw[:, 1:].reshape(h, w, 3)
     pos, w, h, idat = 8, None, None, b""
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -70,7 +88,7 @@ def png_decode(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
     if (raw[:, 0] != 0).any():
         raise NotImplementedError("only filter 0 supported")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    return raw[:, 1:].reshape(h, w, 3)
 
 
 def jpeg_encode(rgb: np.ndarray) -> bytes:

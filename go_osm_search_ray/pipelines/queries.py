@@ -971,24 +971,36 @@ FROM events GROUP BY 1, 2
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the
     stream-shaped op Ray Data expresses as an ordered per-key group
-    (SURVEY.md §2.10 pattern; ordering: (ts, event_id) per user)."""
+    (SURVEY.md §2.10 pattern; ordering: (ts, event_id) per user).
+
+    Users are co-located by hash bucket (cheap 64-group shuffle) and
+    each bucket sessionizes ALL its users in one vectorized pass
+    (sort + shift + cumsum with user boundaries) — no per-user task."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().astype(np.int64) + 1  # first row: NaT diff -> False -> 1
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["user_id"], index=False)
+        return b.assign(_bucket=h.to_numpy() % 64)
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
+        sid = gap.groupby(g["user_id"].to_numpy()).cumsum().astype(np.int64)
         out = (
             pd.DataFrame({"user_id": g["user_id"], "session_id": sid})
-            .groupby("session_id", sort=True)
+            .groupby(["user_id", "session_id"], sort=True)
             .size()
             .reset_index(name="n")
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(sessionize_bucket, batch_format="pandas")
+    )
 
 
 SQL_SESSIONIZE = """

@@ -107,11 +107,14 @@ class AverageHashInt:
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         n = batch.num_rows
-        g3 = np.empty((n, 64), dtype=np.int64)
-        for i in range(n):
-            img = _decode(blobs[i], fmts[i]).astype(np.int64)
-            small = _resize_nn(img, 8, 8)
-            g3[i] = small.sum(axis=2).reshape(64)
+        imgs = [_decode(blobs[i], fmts[i]) for i in range(n)]
+        if n and all(im.shape == (8, 8, 3) for im in imgs):
+            g3 = np.stack(imgs).astype(np.int64).sum(axis=3).reshape(n, 64)
+        else:
+            g3 = np.empty((n, 64), dtype=np.int64)
+            for i, img in enumerate(imgs):
+                small = _resize_nn(img.astype(np.int64), 8, 8)
+                g3[i] = small.sum(axis=2).reshape(64)
         total = g3.sum(axis=1, keepdims=True)
         bits = (64 * g3) > total
         v_lo = (bits[:, :63].astype(np.int64) * self._POW2_63[None, :]).sum(axis=1)
@@ -154,14 +157,23 @@ class AverageHash:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        smalls = np.empty((n, 8, 8), dtype=np.float32)
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        for i in range(n):
-            img = _decode(blobs[i], fmts[i])
-            gray = img.mean(axis=2, dtype=np.float32)
-            smalls[i] = _resize_nn(gray[:, :, None], 8, 8)[:, :, 0]
-        flat = smalls.reshape(n, 64)
+        imgs = [_decode(blobs[i], fmts[i]) for i in range(n)]
+        if n and all(im.shape == (8, 8, 3) for im in imgs):
+            # uniform 8x8 fast path: ONE stacked allocation + batch-wide
+            # grayscale (vs n tiny mean/resize allocations per image —
+            # allocation churn is the measured high-worker-count
+            # bottleneck of this stage)
+            flat = (
+                np.stack(imgs).astype(np.float32).mean(axis=3).reshape(n, 64)
+            )
+        else:
+            smalls = np.empty((n, 8, 8), dtype=np.float32)
+            for i, img in enumerate(imgs):
+                gray = img.mean(axis=2, dtype=np.float32)
+                smalls[i] = _resize_nn(gray[:, :, None], 8, 8)[:, :, 0]
+            flat = smalls.reshape(n, 64)
         bits = flat > flat.mean(axis=1, keepdims=True)
         vals = (bits.astype(np.uint64) * self._POW2[None, :]).sum(axis=1)
         return batch.append_column(
