@@ -742,6 +742,45 @@ WHERE p.common * 5 >= sa.sz + sb.sz - p.common
 """
 
 
+def q_near_dedup_keep(sf_dir: str):
+    """End-to-end near-dedup: shingle-Jaccard pairs -> connected
+    components -> keep min-id per component.  Oracle = recursive-CTE
+    transitive closure in DuckDB."""
+    return dedup.near_dedup_keep(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.2,
+    )
+
+
+SQL_NEAR_DEDUP_KEEP = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS shingle
+       FROM toks, unnest(range(1, GREATEST(len(t)-1, 2))) AS u(i)
+       WHERE len(t) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+near AS (SELECT p.id_a, p.id_b
+         FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+                      JOIN sizes sb ON sb.doc_id = p.id_b
+         WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.2),
+edges AS (SELECT id_a AS a, id_b AS b FROM near
+          UNION ALL SELECT id_b, id_a FROM near),
+walk(node, reach) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+roots AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM roots WHERE root < node)
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding queries
 
@@ -1477,6 +1516,24 @@ def q_ivf_assign(sf_dir: str):
     return embed.ivf_assign(ds, cents).select_columns(["vec_id", "ivf_bucket"])
 
 
+def q_ivf_search(sf_dir: str):
+    """IVF probing search at FULL probe (nprobe = n_centroids): the
+    recall-1 configuration is exactly brute-force cosine top-k, so it
+    shares embedding_knn's SQL oracle; partial-probe recall is
+    pytest-proven (tests/test_dedup_embed.py::TestIVFSearch)."""
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
+    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    qn = 5
+    queries = {
+        "query_id": emb["vec_id"].to_pylist()[:qn],
+        "embedding": emb["embedding"].to_pylist()[:qn],
+    }
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embed.ivf_topk(ds, cents, queries, k=5, nprobe=8).to_pandas()
+    return _round6(out[["query_id", "rank", "vec_id", "cosine"]], ["cosine"])
+
+
 def q_postings_lists(sf_dir: str):
     """A1+A2 merged inverted index; postings stringified so the driver
     can value-hash against the DuckDB list aggregation."""
@@ -1525,9 +1582,11 @@ def registry():
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "shingle_common": (_shingle_common_impl, SQL_SHINGLE_COMMON),
+        "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
         # embeddings
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
         "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),
+        "ivf_search": (q_ivf_search, SQL_EMBEDDING_KNN),
         # relational coverage
         "pricing_summary": (q_pricing_summary, SQL_PRICING),
         "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),

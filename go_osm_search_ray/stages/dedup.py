@@ -237,6 +237,52 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     return rd.from_pandas(pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj}))
 
 
+def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
+                    threshold: float = 0.2, max_df: int | None = None,
+                    method: str = "exact"):
+    """Training-data near-dedup END TO END: pair generation (exact
+    shingle-Jaccard, or MinHash+LSH via method="minhash") -> connected
+    components -> keep the MIN-ID representative per component.
+    Returns a Dataset of kept ids (docs with no near-dup survive).
+
+    The pair list is bounded by the near-dup rate (<< corpus), so the
+    union-find runs driver-side; swap in distributed label propagation
+    (iterated min-neighbor joins) if pair counts ever rival the corpus.
+    The survivors filter streams — the corpus never materializes.
+    """
+    if method == "minhash":
+        pairs_ds = minhash_lsh_pairs(ds, id_col, text_col, k_shingle,
+                                     threshold=threshold)
+    else:
+        pairs_ds = jaccard_pairs(ds, id_col, text_col, k_shingle,
+                                 threshold=threshold, max_df=max_df)
+    pairs = pairs_ds.to_pandas()  # bounded by near-dup pair count
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root => the representative is the smallest member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    drop = {x for x in parent if find(x) != x}
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b[id_col].isin(drop)][[id_col]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -114,6 +114,22 @@ class TestJaccardAndMinhash:
         # every reported pair genuinely passes the threshold
         assert (got["jaccard"] >= 0.5).all()
 
+    def test_near_dedup_keep_components(self):
+        """Planted near-dup chain: 0 ~ 100000 ~ 100001 ~ 100002 collapse
+        into one component whose min id (0) survives; unrelated docs all
+        survive."""
+        import ray.data as rd
+
+        df = docs_with_dups()
+        kept = set(
+            dedup.near_dedup_keep(rd.from_pandas(df).repartition(4),
+                                  threshold=0.2).to_pandas()["doc_id"]
+        )
+        assert 0 in kept
+        assert not ({100000, 100001, 100002} & kept)
+        # every doc is either kept or in a component with a smaller kept id
+        assert len(kept) <= len(df) - 3
+
     def test_jaccard_hot_shingle_cap(self):
         """Planted hot key: many docs sharing one shingle.  With max_df
         the hot group emits no pairs (bounded work); docs ALSO sharing

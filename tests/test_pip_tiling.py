@@ -204,7 +204,7 @@ class TestSkewHandling:
             ).reset_index()
             return g
 
-        salted = two_phase_agg(ds, partial, ["tile_id", "salt"], ["n"])
+        salted = two_phase_agg(ds, partial, ["tile_id", "salt"], ["n"]).to_pandas()
         combined = salted.groupby("tile_id", as_index=False)["n"].sum()
 
         lat, lon = geo.phash_to_latlon(images["phash"].to_numpy())
