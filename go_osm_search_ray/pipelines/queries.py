@@ -250,7 +250,7 @@ def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
 
 def q_knn_join(sf_dir: str):
     out = knn.knn_join(
-        orders_points(sf_dir), supplier_queries(sf_dir, k=5), concurrency=2
+        orders_points(sf_dir), supplier_queries(sf_dir, k=5), concurrency=(1, 8)
     )
     return _round6(out[["query_id", "rank", "point_id", "dist_km"]], ["dist_km"])
 
@@ -280,7 +280,7 @@ def q_knn_radius_filter(sf_dir: str):
         orders_points(sf_dir),
         supplier_queries(sf_dir, k=10, offset=2, radius=3000.0, feature="O"),
         tag_col="status",
-        concurrency=2,
+        concurrency=(1, 8),
     )
     return _round6(out[["query_id", "rank", "point_id", "dist_km"]], ["dist_km"])
 

@@ -81,14 +81,20 @@ def cosine_topk(ds, queries: dict | pa.Table, k: int, id_col: str = "vec_id",
             "embedding": queries["embedding"].to_pylist(),
         }
     ref = ray.put(queries)
-    partials = ds.map_batches(
-        CosineTopKPartial,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
-                               "exclude_self": exclude_self},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    from .knn import cached_state
+
+    key = f"cosine/{ref.hex()}/{k}/{id_col}/{exclude_self}"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # task mode + per-process state cache: no per-call pool startup
+        st = cached_state(
+            key,
+            lambda: CosineTopKPartial(ref, k, id_col, exclude_self),
+        )
+        return st(batch)
+
+    partials = ds.map_batches(fn, batch_format="pyarrow",
+                              batch_size=batch_size)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True],

@@ -154,12 +154,29 @@ class FenceEvaluator:
 
 def fence_transitions(events_ds, fences: pa.Table, nearest_n: int | None = 3,
                       state: pa.Table | None = None, concurrency=2,
-                      batch_size: int = 4096):
-    """events -> (point_id, seq, fence_key, status) transition rows."""
+                      batch_size: int = 4096, mode: str = "auto"):
+    """events -> (point_id, seq, fence_key, status) transition rows.
+
+    mode="tasks" (auto for <=100k fences): stateless task pool with the
+    per-process state cache (stages/knn.cached_state) — no per-call
+    actor-pool startup."""
     import ray
 
     ref = ray.put(fences)
     lagged = with_prev_position(events_ds, state=state)
+    if mode == "auto":
+        mode = "tasks" if fences.num_rows <= 100_000 else "actors"
+    if mode == "tasks":
+        from .knn import cached_state
+
+        key = f"fence/{ref.hex()}/{nearest_n}"
+
+        def fn(batch: pa.Table) -> pa.Table:
+            st = cached_state(key, lambda: FenceEvaluator(ref, nearest_n))
+            return st(batch)
+
+        return lagged.map_batches(fn, batch_format="pyarrow",
+                                  batch_size=batch_size)
     return lagged.map_batches(
         FenceEvaluator,
         fn_constructor_kwargs={"fences_ref": ref, "nearest_n": nearest_n},

@@ -27,6 +27,28 @@ import pyarrow as pa
 from .. import geo
 
 
+# elements per Q x CHUNK selection tile (x8 bytes).  131072 = 1 MiB
+# keeps the tile in L2/L3; benchmarked against 0.5-16 MiB on the
+# sandbox host (see BASELINE.md round-2 notes)
+TILE_BUDGET = 131072
+
+# per-worker-process compiled-state cache for task-mode stages (same
+# pattern as stages/pip.py): a stateless task pool reuses worker
+# processes, so each process builds the broadcast state once — actor
+# semantics without the per-call pool-startup latency (~1-2 s per
+# query invocation on this host)
+_STATE_CACHE: dict[str, object] = {}
+
+
+def cached_state(key: str, build):
+    c = _STATE_CACHE.get(key)
+    if c is None:
+        c = build()
+        _STATE_CACHE.clear()  # hold at most one compiled state per process
+        _STATE_CACHE[key] = c
+    return c
+
+
 def topk_cols_exact(a: np.ndarray, n: int, sec: np.ndarray | None = None):
     """Per-row column indices of the n smallest entries with EXACT
     (value, tie-key) semantics at the boundary: argpartition fast path;
@@ -104,7 +126,7 @@ class KNNPartial:
         big = np.float64(2.0)  # sentinel > any valid hav value (<= 1)
         Q = len(self.q_id)
         kmax = min(int(self.q_keep.max()), len(p_lat))
-        CHUNK = max(kmax, 131072 // max(Q, 1))  # ~Q*CHUNK*8B tile ~ 1 MiB
+        CHUNK = max(kmax, TILE_BUDGET // max(Q, 1))  # Q*CHUNK*8B tile
         has_r = ~np.isnan(self.q_radius)
         # inflate the approximate hav-space threshold by a few ulps so a
         # float-boundary point is never dropped HERE; the exact-distance
@@ -178,7 +200,8 @@ class KNNPartial:
 
 
 def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
-             tag_col: str | None = None, concurrency=(1, 4), batch_size: int = 8192):
+             tag_col: str | None = None, concurrency=(1, 4),
+             batch_size: int = 8192, mode: str = "auto"):
     """points x queries -> (query_id, rank, point_id, dist_km), exact kNN.
 
     `queries` columns: query_id, lat, lon, k [, offset, radius_km, feature].
@@ -186,21 +209,40 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
     the result is inherently small (Q x k), and the per-block partial
     top-k already collapsed the corpus, so the final merge is a
     driver-side combine of partials — no shuffle.
+
+    mode="tasks" (auto for <=100k queries): stateless task pool with a
+    per-process compiled-state cache — elastic, no pool startup.
+    mode="actors": explicit pool (pin big query tables once per worker).
     """
     import ray
 
     ref = ray.put(queries)
-    partials = points_ds.map_batches(
-        KNNPartial,
-        fn_constructor_kwargs={
-            "queries_ref": ref,
-            "point_id_col": point_id_col,
-            "tag_col": tag_col,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if mode == "auto":
+        mode = "tasks" if queries.num_rows <= 100_000 else "actors"
+    if mode == "tasks":
+        key = f"knn/{ref.hex()}/{point_id_col}/{tag_col}"
+
+        def fn(batch: pa.Table) -> pa.Table:
+            st = cached_state(
+                key, lambda: KNNPartial(ref, point_id_col, tag_col)
+            )
+            return st(batch)
+
+        partials = points_ds.map_batches(
+            fn, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        partials = points_ds.map_batches(
+            KNNPartial,
+            fn_constructor_kwargs={
+                "queries_ref": ref,
+                "point_id_col": point_id_col,
+                "tag_col": tag_col,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
 
     qcols = ["query_id", "k"] + (
         ["offset"] if "offset" in queries.column_names else []
@@ -507,10 +549,24 @@ class ReverseGeocoder:
 
 
 def reverse_geocode(points_ds, streets: pa.Table, concurrency=(1, 4),
-                    batch_size: int = 4096, lat_col="lat", lon_col="lon"):
+                    batch_size: int = 4096, lat_col="lat", lon_col="lon",
+                    mode: str = "auto"):
     import ray
 
     ref = ray.put(streets)
+    if mode == "auto":
+        mode = "tasks" if streets.num_rows <= 100_000 else "actors"
+    if mode == "tasks":
+        key = f"revgeo/{ref.hex()}/{lat_col}/{lon_col}"
+
+        def fn(batch: pa.Table) -> pa.Table:
+            st = cached_state(
+                key, lambda: ReverseGeocoder(ref, lat_col, lon_col)
+            )
+            return st(batch)
+
+        return points_ds.map_batches(fn, batch_format="pyarrow",
+                                     batch_size=batch_size)
     return points_ds.map_batches(
         ReverseGeocoder,
         fn_constructor_kwargs={"streets_ref": ref, "lat_col": lat_col,
