@@ -268,7 +268,7 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
 def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
                   res: int = 6, point_id_col: str = "point_id",
                   batch_size: int = 4096, ring_radius: int | None = None,
-                  with_meta: bool = False):
+                  with_meta: bool = False, points_keyed: bool = False):
     """Cell-partitioned kNN for LARGE query sides (millions of queries).
 
     The broadcast plan above needs the query table to fit in every
@@ -321,7 +321,8 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
         return out
 
     q_cells = queries_ds.map_batches(explode_queries, batch_format="pandas")
-    p_cells = points_ds.map_batches(key_points, batch_format="pandas")
+    p_cells = (points_ds if points_keyed
+               else points_ds.map_batches(key_points, batch_format="pandas"))
     # tag and union the two sides so one shuffle co-locates both
     q_tag = q_cells.map_batches(
         lambda b: b.assign(side="q", **{point_id_col: -1}), batch_format="pandas"
@@ -426,12 +427,27 @@ def knn_cell_join_unbounded(points_ds, queries_ds, k: int, res: int = 6,
     results = []
     pending = queries_ds.materialize()
 
-    r = 1
+    # key the point side ONCE — every round reuses the materialized
+    # cell-keyed points instead of re-deriving them per round
+    def key_points(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[point_id_col, "lat", "lon"]].copy()
+        out["cell"] = geo.tile_id(b["lat"].to_numpy(), b["lon"].to_numpy(), res)
+        return out
+
+    p_keyed = points_ds.map_batches(key_points,
+                                    batch_format="pandas").materialize()
+
+    # r=1's guarantee radius is 0 (a (r-1)-cell bound) — it could never
+    # finish a query, so start at 2; grow x4 per round (each ring is a
+    # superset, so overshooting a round only adds candidates, never
+    # wrongness)
+    r = 2
     for _ in range(max_rounds):
         full_grid = r >= n_axis
         joined = knn_cell_join(
-            points_ds, pending, radius_km=None, k=k, res=res,
+            p_keyed, pending, radius_km=None, k=k, res=res,
             point_id_col=point_id_col, ring_radius=r, with_meta=True,
+            points_keyed=True,
         )
 
         def split(g: pd.DataFrame, _r=r, _full=full_grid) -> pd.DataFrame:
@@ -466,7 +482,7 @@ def knn_cell_join_unbounded(points_ds, queries_ds, k: int, res: int = 6,
             ),
             batch_format="pandas",
         ).materialize()
-        r *= 2
+        r *= 4
     out = results[0]
     for extra in results[1:]:
         out = out.union(extra)
