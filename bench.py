@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "knn_radius_filter", "reverse_geocode", "geofence_transitions",
     "postings_pairs", "term_df", "bm25f_topk", "dedup_exact",
     "embedding_knn", "pricing_summary", "segment_revenue", "events_window",
+    # round-2 additions
+    "events_sessionize", "boolean_and", "simhash_signatures", "image_ahash",
 ]
 
 

@@ -1099,6 +1099,95 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 1-hour windows hopping every 30 min: each event lands in
+    exactly two windows (its 30-min floor and the one before), exploded
+    per batch then bucket-hash combined — the hop generalization of the
+    tumbling q_events_window."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w0 = b["ts"].dt.floor("30min")
+        frames = []
+        for w in (w0, w0 - pd.Timedelta(minutes=30)):
+            frames.append(pd.DataFrame({
+                "user_id": b["user_id"],
+                "window_start": w,
+                "value_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+            }))
+        e = pd.concat(frames, ignore_index=True)
+        return (
+            e.groupby(["user_id", "window_start"], sort=False)
+            .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+
+    from ..stages.agg import two_phase_agg
+
+    out = two_phase_agg(ds, partial, ["user_id", "window_start"],
+                        ["n", "sum_value_c"], combine="shuffle")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["n"] = b["n"].astype(np.int64)
+        b["sum_value_c"] = b["sum_value_c"].astype(np.int64)
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING = """
+WITH w0 AS (SELECT user_id,
+                   to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT))
+                     AT TIME ZONE 'UTC' AS w,
+                   CAST(round(value*100) AS BIGINT) AS value_c
+            FROM events),
+e AS (SELECT user_id, w AS window_start, value_c FROM w0
+      UNION ALL
+      SELECT user_id, w - INTERVAL 30 MINUTE, value_c FROM w0)
+SELECT user_id, window_start, COUNT(*) AS n,
+       CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_grouped_topn(sf_dir: str):
+    """Per-group top-N without a global sort: per-batch partial top-5
+    per event_type -> keyed merge of O(blocks * groups * 5) rows ->
+    final top-5 (the K1 partial-top-k pattern, grouped)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(value_c=np.round(b["value"].to_numpy() * 100).astype(np.int64))
+        b = b.sort_values(["event_type", "value_c", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return b.groupby("event_type", sort=False).head(5)[
+            ["event_type", "event_id", "value_c"]
+        ]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_c", "event_id"], ascending=[False, True],
+                          kind="mergesort").head(5).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_GROUPED_TOPN = """
+WITH r AS (SELECT event_type, event_id,
+                  CAST(round(value*100) AS BIGINT) AS value_c,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(round(value*100) AS BIGINT) DESC,
+                                              event_id) AS rank
+           FROM events)
+SELECT event_type, event_id, value_c, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_event_type_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1593,6 +1682,8 @@ def registry():
         "top_orders": (q_top_orders, SQL_TOP_ORDERS),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+        "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+        "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),
         "event_type_users": (q_event_type_users, SQL_EVENT_TYPE_USERS),
         "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
         "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
