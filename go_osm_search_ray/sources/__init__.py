@@ -17,9 +17,18 @@ TABLES = [
 
 
 def read_table(sf_dir: str, name: str, columns=None, **kwargs):
-    """Column-pruned read of one testdata table as a ray.data.Dataset."""
+    """Column-pruned read of one testdata table as a ray.data.Dataset.
+
+    The testdata tables are SINGLE-file, single-row-group parquet, for
+    which Ray's default plan is one read task streaming dozens of tiny
+    blocks under backpressure — every downstream stage serializes
+    behind it (measured 2.0 s vs 0.28 s for a 2.7 MB file).  Explicit
+    override_num_blocks restores read parallelism; real deployments
+    with many files / row groups should NOT set it and let the
+    autoscaler choose."""
     import ray.data as rd
 
+    kwargs.setdefault("override_num_blocks", 16)
     return rd.read_parquet(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kwargs
     )
