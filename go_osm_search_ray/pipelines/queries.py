@@ -781,6 +781,44 @@ WHERE doc_id NOT IN (SELECT node FROM roots WHERE root < node)
 """
 
 
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash winnowing fingerprints (MOSS scheme) — distinct
+    selected hashes per doc, SQL-mirrored digit by digit."""
+    return text.winnow_fingerprints(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def _sql_h32(hx: str = "hx") -> str:
+    """Low 32 bits (little-endian) of an md5 hex string, decoded via
+    strpos — mirrors int.from_bytes(digest[:4], 'little')."""
+    terms = []
+    for j in range(4):
+        hi = f"(strpos('0123456789abcdef', substr({hx}, {2 * j + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substr({hx}, {2 * j + 2}, 1)) - 1)"
+        terms.append(f"(({hi}) * 16 + ({lo})) * {256 ** j}")
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_FINGERPRINTS = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (SELECT doc_id, i AS p,
+              CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS shingle
+       FROM toks, unnest(range(1, GREATEST(len(t)-1, 2))) AS u(i)
+       WHERE len(t) > 0),
+h AS (SELECT doc_id, p, {_sql_h32('md5(shingle)')} AS h FROM sh),
+n AS (SELECT doc_id, COUNT(*) AS cnt FROM h GROUP BY doc_id),
+w AS (SELECT doc_id, p, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      FROM h)
+SELECT DISTINCT w.doc_id, CAST(w.h AS BIGINT) AS fingerprint
+FROM w JOIN n ON n.doc_id = w.doc_id
+WHERE n.cnt <= 4 OR (w.p >= 4 AND w.h = w.wmin)
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding queries
 
@@ -1672,6 +1710,7 @@ def registry():
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "shingle_common": (_shingle_common_impl, SQL_SHINGLE_COMMON),
         "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
+        "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
         # embeddings
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
         "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),

@@ -560,6 +560,55 @@ def vocab_with_min_freq(ds, min_freq: int = 2, id_col="doc_id", text_col="text",
     return counts[counts["freq"] >= min_freq].reset_index(drop=True)
 
 
+def winnow_fingerprints(ds, id_col="doc_id", text_col="text",
+                        k_shingle: int = 3, window: int = 4):
+    """Document fingerprinting by rolling-hash WINNOWING (the MOSS
+    scheme, Schleimer et al. 2003): hash every k-token shingle, slide a
+    window of `window` consecutive shingle hashes, select positions
+    whose hash equals the window minimum, emit the DISTINCT selected
+    hashes per doc.  Near-identical documents share most fingerprints;
+    the output is a (doc_id, fingerprint) pair table ready for the same
+    keyed-shuffle machinery as postings.
+
+    Hash = low 32 bits (little-endian) of md5(shingle) — process-
+    independent and reproduced digit-by-digit by the SQL oracle.  Docs
+    with fewer than `window` shingles fingerprint every shingle."""
+    import hashlib
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        toks = tokenize_series(batch[text_col])
+        for i, ws in enumerate(toks):
+            ws = list(ws)
+            if not ws:
+                continue
+            if len(ws) < k_shingle:
+                shingles = [" ".join(ws)]
+            else:
+                shingles = [" ".join(ws[j : j + k_shingle])
+                            for j in range(len(ws) - k_shingle + 1)]
+            h = np.array(
+                [int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
+                 for s in shingles],
+                dtype=np.int64,
+            )
+            if len(h) <= window:
+                sel = np.unique(h)
+            else:
+                # sliding window-min via stride tricks; select p where
+                # h[p] == min(h[p-window+1 .. p])
+                sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                wmin = sw.min(axis=1)
+                pos = np.arange(window - 1, len(h))
+                sel = np.unique(h[pos][h[pos] == wmin])
+            ids.extend([batch[id_col].iloc[i]] * len(sel))
+            fps.extend(sel.tolist())
+        return pd.DataFrame({id_col: ids,
+                             "fingerprint": np.array(fps, dtype=np.int64)})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # training-data text analysis (new ops)
 
