@@ -121,6 +121,48 @@ def encode(rgb: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 
+# ---------------------------------------------------------------------------
+# minimal multi-frame (video) container and PCM (audio) payloads.
+# Real video/audio codecs (ffmpeg et al.) are not in this container —
+# the CONTAINER layer below is real (length-prefixed frames, real PNG
+# payloads; PCM16 little-endian samples), the lossy codecs are the
+# clearly-marked external boundary exactly like JPEG above.
+
+_VID_MAGIC = b"FVID0001"
+
+
+def video_pack(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container: magic | u32 count | (u32 len |
+    payload)*.  Frames are independently-decodable image byte strings
+    (PNG here)."""
+    out = [_VID_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def video_unpack(data: bytes) -> list[bytes]:
+    if data[:8] != _VID_MAGIC:
+        raise ValueError("not a FVID container")
+    (n,) = struct.unpack_from("<I", data, 8)
+    pos, frames = 12, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", data, pos)
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+def pcm16_encode(samples: np.ndarray) -> bytes:
+    """int16 array -> little-endian PCM bytes."""
+    return np.asarray(samples, dtype="<i2").tobytes()
+
+
+def pcm16_decode(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype="<i2")
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

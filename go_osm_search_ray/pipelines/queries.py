@@ -1602,6 +1602,86 @@ GROUP BY 1, 2, 3
 SQL_IMAGE_TILE = _sql_image_tile()
 
 
+def q_video_frame_stats(sf_dir: str):
+    """Multimodal VIDEO leg: key-derived FVID containers (real PNG
+    frames) -> frame sampling (stride 2) -> per-frame decode ->
+    integer channel sums, vs a pure-SQL pixel-math oracle."""
+    from .. import synth
+    from ..stages import images
+
+    keys = read_table(sf_dir, "part", columns=["p_partkey"])
+    vids = keys.map_batches(
+        lambda b: synth.videos_from_keys(b["p_partkey"].to_numpy()),
+        batch_format="pyarrow",
+    )
+    frames = vids.map_batches(images.FrameSample, fn_constructor_kwargs={"stride": 2},
+                              batch_format="pyarrow", concurrency=2)
+
+    def frame_sums(b: pa.Table) -> pa.Table:
+        from .. import codecs
+
+        sums = np.zeros((b.num_rows, 3), dtype=np.int64)
+        for i, (blob, fmt) in enumerate(zip(b["bytes"].to_pylist(),
+                                            b["fmt"].to_pylist())):
+            sums[i] = codecs.decode(blob, fmt).astype(np.int64).sum(axis=(0, 1))
+        return pa.table({
+            "video_id": b["video_id"],
+            "frame_idx": b["frame_idx"],
+            "sum_r": pa.array(sums[:, 0], pa.int64()),
+            "sum_g": pa.array(sums[:, 1], pa.int64()),
+            "sum_b": pa.array(sums[:, 2], pa.int64()),
+        })
+
+    return frames.map_batches(frame_sums, batch_format="pyarrow")
+
+
+SQL_VIDEO_FRAME_STATS = """
+WITH px AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k, uf.f AS f, ux.x AS x, uy.y AS y
+  FROM part, unnest([0, 2, 4]) AS uf(f),
+       unnest(range(0, 8)) AS ux(x), unnest(range(0, 8)) AS uy(y))
+SELECT 'vid' || lpad(CAST(k AS VARCHAR), 10, '0') AS video_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(SUM((k*3 + f*17 + x*7  + y*11) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((k*5 + f*13 + x*13 + y*3 ) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((k*7 + f*19 + x*11 + y*5 ) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1, 2
+"""
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal AUDIO leg: key-derived PCM16 payloads -> integer
+    feature extraction (sum-abs, zero crossings, peak) vs pure-SQL
+    sample math."""
+    from .. import synth
+    from ..stages import images
+
+    keys = read_table(sf_dir, "part", columns=["p_partkey"])
+    auds = keys.map_batches(
+        lambda b: synth.audio_from_keys(b["p_partkey"].to_numpy()),
+        batch_format="pyarrow",
+    )
+    return auds.map_batches(images.AudioFeatures, batch_format="pyarrow",
+                            concurrency=2)
+
+
+SQL_AUDIO_FEATURES = """
+WITH s AS (SELECT CAST(p_partkey AS BIGINT) AS k, u.t AS t,
+                  (CAST(p_partkey AS BIGINT)*31 + u.t*7) % 2048 - 1024 AS v
+           FROM part, unnest(range(0, 1024)) AS u(t)),
+lagged AS (SELECT k, t, v,
+                  lag(v) OVER (PARTITION BY k ORDER BY t) AS pv
+           FROM s)
+SELECT 'aud' || lpad(CAST(k AS VARCHAR), 10, '0') AS audio_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN (v < 0) != (pv < 0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak
+FROM lagged GROUP BY 1
+"""
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs.  The SQL oracle is the EXACT-Jaccard
     self-join at the same threshold: the engine's exact-verify stage
@@ -1745,4 +1825,6 @@ def registry():
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
         "image_decode_stats": (q_image_decode_stats, SQL_IMAGE_DECODE_STATS),
         "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
+        "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
+        "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     }

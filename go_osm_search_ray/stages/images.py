@@ -208,6 +208,64 @@ class EmbedImage:
         )
 
 
+class FrameSample:
+    """Video frame sampling: unpack the FVID container, keep every
+    `stride`-th frame, EXPLODE to one row per sampled frame
+    (video_id, frame_idx, bytes, fmt) — the map_batches leg a video
+    pipeline hangs decode/feature stages off.  The container layer is
+    real; a real video codec slots in at the frame-decode boundary
+    exactly like JPEG (codecs module docstring)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import codecs
+
+        vids, idxs, blobs = [], [], []
+        for vid, data in zip(batch["video_id"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            frames = codecs.video_unpack(data)
+            for fi in range(0, len(frames), self.stride):
+                vids.append(vid)
+                idxs.append(fi)
+                blobs.append(frames[fi])
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["png"] * len(vids), pa.string()),
+            }
+        )
+
+
+class AudioFeatures:
+    """PCM16 feature extraction, integer-exact (SQL-hashable): decoded
+    sample count, sum of absolute amplitudes, zero crossings (strict
+    sign changes), peak amplitude."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import codecs
+
+        n, sab, zc, pk = [], [], [], []
+        for data in batch["bytes"].to_pylist():
+            s = codecs.pcm16_decode(data).astype(np.int64)
+            n.append(len(s))
+            sab.append(int(np.abs(s).sum()))
+            zc.append(int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if len(s) > 1 else 0)
+            pk.append(int(np.abs(s).max()) if len(s) else 0)
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "n_samples": pa.array(n, pa.int64()),
+                "sum_abs": pa.array(sab, pa.int64()),
+                "zero_crossings": pa.array(zc, pa.int64()),
+                "peak": pa.array(pk, pa.int64()),
+            }
+        )
+
+
 class PayloadInvariantError(AssertionError):
     pass
 

@@ -165,6 +165,59 @@ def images_from_keys(keys: np.ndarray, img_side: int = 8) -> pa.Table:
     )
 
 
+def videos_from_keys(keys: np.ndarray, n_frames: int = 6,
+                     img_side: int = 8) -> pa.Table:
+    """Video rows from int keys: `n_frames` REAL PNG frames in the
+    FVID container, frame f pixel math SQL-mirrorable:
+
+        r = (key*3 + f*17 + x*7  + y*11) % 256
+        g = (key*5 + f*13 + x*13 + y*3 ) % 256
+        b = (key*7 + f*19 + x*11 + y*5 ) % 256
+    """
+    k = np.asarray(keys, dtype=np.int64)
+    side = img_side
+    yy, xx = np.mgrid[0:side, 0:side]
+    blobs = []
+    for kk in k.tolist():
+        frames = []
+        for f in range(n_frames):
+            r = ((kk * 3 + f * 17 + xx * 7 + yy * 11) % 256).astype(np.uint8)
+            g = ((kk * 5 + f * 13 + xx * 13 + yy * 3) % 256).astype(np.uint8)
+            b = ((kk * 7 + f * 19 + xx * 11 + yy * 5) % 256).astype(np.uint8)
+            frames.append(codecs.png_encode(np.stack([r, g, b], axis=-1)))
+        blobs.append(codecs.video_pack(frames))
+    n = len(k)
+    return pa.table(
+        {
+            "video_id": pa.array([f"vid{kk:010d}" for kk in k.tolist()], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "fmt": pa.array(["fvid/png"] * n, pa.string()),
+            "caption": pa.array([f"clip {kk}" for kk in k.tolist()], pa.string()),
+        }
+    )
+
+
+def audio_from_keys(keys: np.ndarray, n_samples: int = 1024) -> pa.Table:
+    """PCM16 audio rows from int keys, sample math SQL-mirrorable:
+    s[t] = (key*31 + t*7) % 2048 - 1024."""
+    k = np.asarray(keys, dtype=np.int64)
+    t = np.arange(n_samples, dtype=np.int64)
+    blobs = []
+    for kk in k.tolist():
+        samples = ((kk * 31 + t * 7) % 2048 - 1024).astype(np.int16)
+        blobs.append(codecs.pcm16_encode(samples))
+    n = len(k)
+    return pa.table(
+        {
+            "audio_id": pa.array([f"aud{kk:010d}" for kk in k.tolist()], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "n_samples": pa.array([n_samples] * n, pa.int32()),
+            "fmt": pa.array(["pcm16le"] * n, pa.string()),
+        }
+    )
+
+
 def polygons_table(n_polygons: int = 64, seed: int = 42) -> pa.Table:
     """T2 admin polygons: convex fans around seeded centers, plus a few
     world-tiling rectangles so every point matches >=1 polygon."""

@@ -88,3 +88,41 @@ class TestSideTables:
         # seq strictly increasing
         s = ev["seq"].to_numpy()
         assert (np.diff(s) > 0).all()
+
+
+class TestMultiFrameAndPCM:
+    def test_video_container_roundtrip(self):
+        import numpy as np
+
+        from go_osm_search_ray import codecs
+
+        frames = []
+        for i in range(5):
+            img = np.full((8, 8, 3), i * 10, dtype=np.uint8)
+            frames.append(codecs.png_encode(img))
+        packed = codecs.video_pack(frames)
+        out = codecs.video_unpack(packed)
+        assert out == frames
+        for i, f in enumerate(out):
+            assert (codecs.png_decode(f) == i * 10).all()
+
+    def test_pcm16_roundtrip(self):
+        import numpy as np
+
+        from go_osm_search_ray import codecs
+
+        s = (np.arange(100) * 37 % 2048 - 1024).astype(np.int16)
+        assert (codecs.pcm16_decode(codecs.pcm16_encode(s)) == s).all()
+
+    def test_frame_sample_stride(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from go_osm_search_ray import synth
+        from go_osm_search_ray.stages.images import FrameSample
+
+        t = synth.videos_from_keys(np.array([7, 8]), n_frames=6)
+        out = FrameSample(stride=2)(t)
+        df = out.to_pandas()
+        assert sorted(df["frame_idx"].unique()) == [0, 2, 4]
+        assert len(df) == 6  # 2 videos x 3 sampled frames
