@@ -145,9 +145,11 @@ def boolean_or(docs_ds, terms: list[str], id_col="doc_id", text_col="text"):
         p = text_stage.postings_pairs(b, id_col, text_col)
         return p[p["term"].isin(tset)][[id_col]].drop_duplicates()
 
+    from ..stages.agg import bucketed_group_apply
+
     ids = docs_ds.map_batches(pairs, batch_format="pandas")
-    return ids.groupby(id_col).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return bucketed_group_apply(
+        ids, [id_col], lambda g: g.drop_duplicates(id_col)
     )
 
 

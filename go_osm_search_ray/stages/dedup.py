@@ -49,8 +49,15 @@ def exact_dedup(ds, id_col="doc_id", text_col="text", normalize: bool = True):
 
     Matches DuckDB: md5(lower(regexp_replace(text,'[^a-z0-9]+',' ','g')))
     when normalize else md5(text).
+
+    The group count equals the distinct-content count (~corpus size),
+    so the combine is a BUCKET-hash shuffle + one vectorized
+    sort+drop_duplicates per bucket — never a sort over billions of
+    hash groups or a per-group Python task (stages/agg.py).
     """
     import re
+
+    from .agg import bucketed_group_apply
 
     norm_re = re.compile(r"[^a-z0-9]+")
 
@@ -66,14 +73,14 @@ def exact_dedup(ds, id_col="doc_id", text_col="text", normalize: bool = True):
             key = batch[text_col].map(md5_hex)
         return pd.DataFrame({"text_hash": key, id_col: batch[id_col]})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(id_col, kind="mergesort")
+            .drop_duplicates("text_hash", keep="first")
+        )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    return bucketed_group_apply(hashed, ["text_hash"], keep_min)
 
 
 # ---------------------------------------------------------------------------
@@ -110,10 +117,18 @@ def name_bbox_dedup(ds, name_col="name", lat_col="lat", lon_col="lon",
         batch["norm_name"] = batch[name_col].str.lower()
         return batch
 
-    return (
-        ds.map_batches(norm, batch_format="pandas")
-        .groupby("norm_name")
-        .map_groups(resolve, batch_format="pandas")
+    from .agg import bucketed_group_apply
+
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the in-group resolution is inherently sequential (running
+        # bbox), but the SHUFFLE is a 64-bucket hash, not a sort over
+        # every distinct name
+        frames = [resolve(grp) for _, grp in g.groupby("norm_name", sort=False)]
+        return pd.concat(frames) if frames else g.head(0)
+
+    return bucketed_group_apply(
+        ds.map_batches(norm, batch_format="pandas"),
+        ["norm_name"], resolve_bucket,
     )
 
 
@@ -198,12 +213,21 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
                 rb.append(ids[i + 1 + off])
         return pd.DataFrame({"id_a": ra, "id_b": rb})
 
-    cand = (
-        ds.map_batches(sig_rows, batch_format="pandas")
-        .groupby(["band", "bucket"])
-        .map_groups(cands_in_bucket, batch_format="pandas")
-        .groupby(["id_a", "id_b"])  # same pair surfaces from several bands
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from .agg import bucketed_group_apply
+
+    def cands_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [cands_in_bucket(grp)
+                  for _, grp in g.groupby(["band", "bucket"], sort=False)]
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"id_a": [], "id_b": []}))
+
+    cand = bucketed_group_apply(
+        ds.map_batches(sig_rows, batch_format="pandas"),
+        ["band", "bucket"], cands_hash_bucket,
+    )
+    # same pair surfaces from several bands -> bucketed distinct
+    cand = bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
     ).to_pandas()  # bounded by candidate count, not corpus size
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
@@ -362,14 +386,21 @@ def simhash_dup_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3
                     ra.append(ids[i]); rb.append(ids[j]); rh.append(ham)
         return pd.DataFrame({"id_a": ra, "id_b": rb, "hamming": rh})
 
-    cand = sigs.map_batches(band_rows, batch_format="pandas").groupby(
-        ["band", "bucket"]
-    ).map_groups(pairs, batch_format="pandas")
+    from .agg import bucketed_group_apply
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def pairs_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [pairs(grp)
+                  for _, grp in g.groupby(["band", "bucket"], sort=False)]
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}))
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    cand = bucketed_group_apply(
+        sigs.map_batches(band_rows, batch_format="pandas"),
+        ["band", "bucket"], pairs_hash_bucket,
+    )
+    return bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -406,41 +437,49 @@ def jaccard_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
             sizes.extend([len(sh)] * len(sh))
         return pd.DataFrame({"shingle": shs, id_col: ids, "set_size": sizes})
 
-    def common_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or (max_df is not None and len(g) > max_df):
-            return pd.DataFrame({"id_a": [], "id_b": [], "size_a": [], "size_b": [],
-                                 "common_partial": []})
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].tolist()
-        sizes = g["set_size"].tolist()
-        ra, rb, sa, sb = [], [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ra.append(ids[i]); rb.append(ids[j])
-                sa.append(sizes[i]); sb.append(sizes[j])
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "size_a": sa, "size_b": sb,
-                             "common_partial": np.ones(len(ra), dtype=np.int64)})
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pair emission for ALL shingle groups in a bucket:
+        df-cap filter, then a self-merge on shingle (a C-level hash
+        join) — no per-group Python loop, no O(g^2) list appends."""
+        if max_df is not None and len(g):
+            vc = g["shingle"].value_counts()
+            hot = vc[vc > max_df].index
+            if len(hot):
+                g = g[~g["shingle"].isin(hot)]
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_a"].to_numpy(),
+            "id_b": m[f"{id_col}_b"].to_numpy(),
+            "size_a": m["set_size_a"].to_numpy(np.int64),
+            "size_b": m["set_size_b"].to_numpy(np.int64),
+            "common_partial": np.ones(len(m), dtype=np.int64),
+        })
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        common = int(g["common_partial"].sum())
-        sa, sb = int(g["size_a"].iloc[0]), int(g["size_b"].iloc[0])
+    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized agg over ALL pair groups in the bucket — the
+        # pair-group count is unbounded, so no per-group task/sort
+        agg = (
+            g.groupby(["id_a", "id_b"], sort=False)
+            .agg(common=("common_partial", "sum"),
+                 size_a=("size_a", "first"), size_b=("size_b", "first"))
+            .reset_index()
+        )
+        common = agg["common"].to_numpy(np.int64)
+        sa = agg["size_a"].to_numpy(np.int64)
+        sb = agg["size_b"].to_numpy(np.int64)
         jac = common / (sa + sb - common)
-        if jac < threshold:
-            if output == "sizes":
-                return pd.DataFrame({"id_a": [], "id_b": [], "common": [],
-                                     "size_a": [], "size_b": []})
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        keep = jac >= threshold
+        agg = agg[keep]
         if output == "sizes":
-            return pd.DataFrame({"id_a": [g["id_a"].iloc[0]],
-                                 "id_b": [g["id_b"].iloc[0]],
-                                 "common": [common],
-                                 "size_a": [sa], "size_b": [sb]})
-        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
-                             "jaccard": [round(jac, 6)]})
+            out = agg.copy()
+            out["common"] = out["common"].astype(np.int64)
+            return out[["id_a", "id_b", "common", "size_a", "size_b"]]
+        return pd.DataFrame({"id_a": agg["id_a"], "id_b": agg["id_b"],
+                             "jaccard": np.round(jac[keep], 6)})
 
-    pairs = (
-        ds.map_batches(shingle_rows, batch_format="pandas")
-        .groupby("shingle")
-        .map_groups(common_in_group, batch_format="pandas")
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(finalize, batch_format="pandas")
+    from .agg import bucketed_group_apply
+
+    sh_rows = ds.map_batches(shingle_rows, batch_format="pandas")
+    pairs = bucketed_group_apply(sh_rows, ["shingle"], pairs_bucket)
+    return bucketed_group_apply(pairs, ["id_a", "id_b"], finalize_bucket)

@@ -228,14 +228,21 @@ def _dup_pairs_lsh(ds, threshold: float, id_col: str, n_planes: int,
             "cosine": sims[ii[hit], jj[hit]],
         })
 
-    cand = (
-        ds.map_batches(BandRows, batch_format="pandas", concurrency=(1, 4))
-        .groupby(["band", "bucket"])
-        .map_groups(pairs, batch_format="pandas")
+    from .agg import bucketed_group_apply
+
+    def pairs_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [pairs(grp)
+                  for _, grp in g.groupby(["band", "bucket"], sort=False)]
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}))
+
+    cand = bucketed_group_apply(
+        ds.map_batches(BandRows, batch_format="pandas", concurrency=(1, 4)),
+        ["band", "bucket"], pairs_hash_bucket,
     )
-    # same pair can surface from several bands -> dedup
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # same pair can surface from several bands -> bucketed distinct
+    return bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
     )
 
 

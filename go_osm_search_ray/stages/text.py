@@ -126,28 +126,41 @@ def postings_lists(ds, id_col="doc_id", text_col="text", n_salt: int = 16,
     stringify=True returns postings as a comma-joined string (the
     DuckDB-oracle-hashable form)."""
 
+    from .agg import bucketed_group_apply
+
     def pairs_salted(b: pd.DataFrame) -> pd.DataFrame:
         p = postings_pairs(b, id_col, text_col)
         p["salt"] = p["doc_id"].to_numpy().astype(np.int64) % n_salt
         return p
 
-    def sub_list(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        return pd.DataFrame({"term": [g["term"].iloc[0]],
-                             "sub": [ids.tolist()]})
+    def sub_lists_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized sort + list-agg over every (term, salt) group
+        # in the bucket — no per-group task or sort over the vocab
+        out = (
+            g.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+            .groupby(["term", "salt"], sort=False)["doc_id"]
+            .agg(list)
+            .reset_index()
+            .rename(columns={"doc_id": "sub"})
+        )
+        return out[["term", "sub"]]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in g["sub"]]
-        ))
-        val = ",".join(str(i) for i in ids.tolist()) if stringify else ids.tolist()
-        return pd.DataFrame({"term": [g["term"].iloc[0]], "postings": [val]})
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.explode("sub")
+        e = e.sort_values(["term", "sub"], kind="mergesort")
+        out = (
+            e.groupby("term", sort=False)["sub"].agg(list).reset_index()
+            .rename(columns={"sub": "postings"})
+        )
+        if stringify:
+            out["postings"] = out["postings"].map(
+                lambda lst: ",".join(str(i) for i in lst)
+            )
+        return out
 
     pairs = ds.map_batches(pairs_salted, batch_format="pandas")
-    subs = pairs.groupby(["term", "salt"]).map_groups(
-        sub_list, batch_format="pandas"
-    )
-    return subs.groupby("term").map_groups(merge, batch_format="pandas")
+    subs = bucketed_group_apply(pairs, ["term", "salt"], sub_lists_bucket)
+    return bucketed_group_apply(subs, ["term"], merge_bucket)
 
 
 # ---------------------------------------------------------------------------
