@@ -1602,6 +1602,34 @@ GROUP BY 1, 2, 3
 SQL_IMAGE_TILE = _sql_image_tile()
 
 
+def q_image_resize_stats(sf_dir: str):
+    """Resize stage proven end to end: decode -> nearest-neighbor
+    8x8 -> 4x4 -> PNG re-encode -> decode again -> integer channel
+    sums; the SQL oracle selects the same source pixels (x*2, y*2)
+    without ever touching the codec."""
+    from ..stages import images
+
+    resized = images.resize(
+        _key_images(sf_dir, "part", "p_partkey"), 4, 4, concurrency=2
+    )
+    return resized.map_batches(
+        images.DecodeSums, batch_format="pyarrow", batch_size=1024,
+        concurrency=2,
+    )
+
+
+SQL_IMAGE_RESIZE_STATS = f"""
+WITH px AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k, ux.x * 2 AS x, uy.y * 2 AS y
+  FROM part, unnest(range(0, 4)) AS ux(x), unnest(range(0, 4)) AS uy(y))
+SELECT {SQL_IMG_ID} AS image_id,
+       CAST(SUM((k*3 + x*7  + y*11) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((k*5 + x*13 + y*3 ) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((k*7 + x*11 + y*5 ) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1
+"""
+
+
 def q_video_frame_stats(sf_dir: str):
     """Multimodal VIDEO leg: key-derived FVID containers (real PNG
     frames) -> frame sampling (stride 2) -> per-frame decode ->
@@ -1825,6 +1853,7 @@ def registry():
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
         "image_decode_stats": (q_image_decode_stats, SQL_IMAGE_DECODE_STATS),
         "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
+        "image_resize_stats": (q_image_resize_stats, SQL_IMAGE_RESIZE_STATS),
         "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
         "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     }
