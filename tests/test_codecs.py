@@ -126,3 +126,19 @@ class TestMultiFrameAndPCM:
         df = out.to_pandas()
         assert sorted(df["frame_idx"].unique()) == [0, 2, 4]
         assert len(df) == 6  # 2 videos x 3 sampled frames
+
+    def test_audio_features_match_brute(self):
+        import numpy as np
+
+        from go_osm_search_ray import codecs, synth
+        from go_osm_search_ray.stages.images import AudioFeatures
+
+        t = synth.audio_from_keys(np.array([3, 9]), n_samples=64)
+        out = AudioFeatures()(t).to_pandas()
+        for i, kk in enumerate([3, 9]):
+            s = codecs.pcm16_decode(t["bytes"][i].as_py()).astype(np.int64)
+            assert out["n_samples"][i] == 64
+            assert out["sum_abs"][i] == np.abs(s).sum()
+            assert out["peak"][i] == np.abs(s).max()
+            zc = ((s[:-1] < 0) != (s[1:] < 0)).sum()
+            assert out["zero_crossings"][i] == zc
