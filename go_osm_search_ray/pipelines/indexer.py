@@ -35,78 +35,121 @@ from ..stages import text as text_stage
 
 def build_index(docs_ds_factory, out_dir: str,
                 spell_error_lines: list[str] | None = None,
-                id_col: str = "doc_id", text_col: str = "text") -> dict:
+                id_col: str = "doc_id", text_col: str = "text",
+                resume: bool = False) -> dict:
     """docs Dataset factory -> index artifact directory.  Returns the
-    manifest.  Each artifact write is timed (throughput metrics)."""
+    manifest.  Each artifact write is timed (throughput metrics).
+
+    resume=True: stages whose artifact the previous run's manifest
+    records as completed are SKIPPED (stage-level resume, the artifact
+    analogue of the flagship's partition-level resume); a stage absent
+    from the manifest is rebuilt even if stray files exist."""
     os.makedirs(out_dir, exist_ok=True)
     stages: dict[str, float] = {}
+    prior = {}
+    if resume:
+        mpath = os.path.join(out_dir, "_manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                prior = json.load(fh).get("stages", {})
+
+    def done(name: str) -> bool:
+        if name in prior:
+            stages[name] = prior[name]  # carry the recorded timing
+            return True
+        return False
+
+    def _flush():
+        # incremental manifest: a crash between stages resumes from the
+        # last COMPLETED stage, not from scratch (atomic replace)
+        tmp = os.path.join(out_dir, "_manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"stages": stages, "completed_at": time.time()}, fh,
+                      indent=1)
+        os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
 
     def timed(name):
         class _T:
             def __enter__(self):
                 self.t0 = time.perf_counter()
 
-            def __exit__(self, *a):
-                stages[name] = round(time.perf_counter() - self.t0, 3)
+            def __exit__(self, exc_type, *a):
+                if exc_type is None:
+                    stages[name] = round(time.perf_counter() - self.t0, 3)
+                    _flush()
 
         return _T()
 
-    with timed("postings"):
-        plists = text_stage.postings_lists(docs_ds_factory(), id_col, text_col)
+    if not done("postings"):
+        with timed("postings"):
+            plists = text_stage.postings_lists(docs_ds_factory(), id_col,
+                                               text_col)
 
-        def add_df(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["df"] = b["postings"].map(len).astype(np.int64)
-            return b
+            def add_df(b: pd.DataFrame) -> pd.DataFrame:
+                b = b.copy()
+                b["df"] = b["postings"].map(len).astype(np.int64)
+                return b
 
-        plists.map_batches(add_df, batch_format="pandas").write_parquet(
-            os.path.join(out_dir, "postings")
-        )
-
-    with timed("doc_stats"):
-        docs_ds_factory().map_batches(
-            lambda b: text_stage.doc_lengths(b, id_col, text_col),
-            batch_format="pandas",
-        ).write_parquet(os.path.join(out_dir, "doc_stats"))
-
-    with timed("vocab"):
-        vocab = text_stage.vocab_with_min_freq(docs_ds_factory(), 2,
-                                               text_col=text_col)
-        if hasattr(vocab, "to_pandas"):
-            vocab = vocab.to_pandas()  # artifact is one driver-written file
-        pq.write_table(pa.Table.from_pandas(vocab, preserve_index=False),
-                       os.path.join(out_dir, "vocab.parquet"))
-
-    with timed("ngrams"):
-        vocab_set = set(vocab["term"])
-        lm = spell_stage.NGramLM.build(docs_ds_factory(), vocab_set,
-                                       text_col=text_col)
-        for n in range(1, 5):
-            t = pa.table(
-                {
-                    "ngram": pa.array(list(lm.counts[n].keys()), pa.string()),
-                    "n": pa.array(list(lm.counts[n].values()), pa.int64()),
-                }
+            plists.map_batches(add_df, batch_format="pandas").write_parquet(
+                os.path.join(out_dir, "postings")
             )
-            pq.write_table(t, os.path.join(out_dir, f"ngrams_{n}.parquet"))
 
-    with timed("meta"):
-        stats_files = os.path.join(out_dir, "doc_stats")
-        ds = pq.read_table(stats_files)
-        meta = {
-            "docs_count": int(ds.num_rows),
-            "avg_doc_len": float(np.mean(ds["n_tokens"].to_numpy()))
-            if ds.num_rows
-            else 0.0,
-            "total_words": lm.total,
-            "spell_errors": spell_error_lines or [],
-        }
-        with open(os.path.join(out_dir, "meta.json"), "w") as fh:
-            json.dump(meta, fh)
+    if not done("doc_stats"):
+        with timed("doc_stats"):
+            docs_ds_factory().map_batches(
+                lambda b: text_stage.doc_lengths(b, id_col, text_col),
+                batch_format="pandas",
+            ).write_parquet(os.path.join(out_dir, "doc_stats"))
+
+    if not done("vocab"):
+        with timed("vocab"):
+            vocab = text_stage.vocab_with_min_freq(docs_ds_factory(), 2,
+                                                   text_col=text_col)
+            if hasattr(vocab, "to_pandas"):
+                vocab = vocab.to_pandas()  # one driver-written file
+            pq.write_table(pa.Table.from_pandas(vocab, preserve_index=False),
+                           os.path.join(out_dir, "vocab.parquet"))
+    else:
+        vocab = pq.read_table(os.path.join(out_dir, "vocab.parquet")).to_pandas()
+
+    if not done("ngrams"):
+        with timed("ngrams"):
+            vocab_set = set(vocab["term"])
+            lm = spell_stage.NGramLM.build(docs_ds_factory(), vocab_set,
+                                           text_col=text_col)
+            for n in range(1, 5):
+                t = pa.table(
+                    {
+                        "ngram": pa.array(list(lm.counts[n].keys()), pa.string()),
+                        "n": pa.array(list(lm.counts[n].values()), pa.int64()),
+                    }
+                )
+                pq.write_table(t, os.path.join(out_dir, f"ngrams_{n}.parquet"))
+        total_words = lm.total
+    else:
+        t1 = pq.read_table(os.path.join(out_dir, "ngrams_1.parquet"))
+        total_words = int(np.sum(t1["n"].to_numpy()))
+
+    if not done("meta"):
+        with timed("meta"):
+            stats_files = os.path.join(out_dir, "doc_stats")
+            ds = pq.read_table(stats_files)
+            meta = {
+                "docs_count": int(ds.num_rows),
+                "avg_doc_len": float(np.mean(ds["n_tokens"].to_numpy()))
+                if ds.num_rows
+                else 0.0,
+                "total_words": total_words,
+                "spell_errors": spell_error_lines or [],
+            }
+            with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+                json.dump(meta, fh)
 
     manifest = {"stages": stages, "completed_at": time.time()}
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
     return manifest
 
 

@@ -31,6 +31,25 @@ class TestIndexer:
         idx = indexer.LoadedIndex(out)
         assert idx.meta["docs_count"] == 500
 
+        # stage-level resume: a full manifest skips every stage
+        # (timings carried over verbatim), and a manifest missing the
+        # tail stages rebuilds ONLY those (simulated mid-run crash)
+        m2 = indexer.build_index(factory, out, resume=True,
+                                 spell_error_lines=synth.spell_errors_lines())
+        assert m2["stages"] == m["stages"]
+        import json
+
+        with open(os.path.join(out, "_manifest.json")) as fh:
+            man = json.load(fh)
+        for k in ("ngrams", "meta"):
+            man["stages"].pop(k)
+        with open(os.path.join(out, "_manifest.json"), "w") as fh:
+            json.dump(man, fh)
+        m3 = indexer.build_index(factory, out, resume=True,
+                                 spell_error_lines=synth.spell_errors_lines())
+        assert m3["stages"]["postings"] == m["stages"]["postings"]  # skipped
+        assert indexer.LoadedIndex(out).meta["docs_count"] == 500  # rebuilt ok
+
         # J4 semi-join: postings for specific terms with filter pushdown
         p = idx.postings(["hash", "scan"])
         assert set(p["term"]) == {"hash", "scan"}
