@@ -255,6 +255,49 @@ class FenceIndex:
         return result
 
 
+    def checkpoint(self, out_dir: str):
+        """Persist fence sets + per-point last positions as parquet +
+        a JSON meta (atomic replace) — the durable analogue of the
+        reference's bbolt store (kvdb/kv_db.go:109-137): a restarted
+        process resumes epoch evaluation exactly where this one stopped."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(out_dir, "fences"), exist_ok=True)
+        for name, df in self._fences.items():
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                os.path.join(out_dir, "fences", f"{name}.parquet"),
+            )
+        if self._state is not None:
+            pq.write_table(self._state, os.path.join(out_dir, "state.parquet"))
+        tmp = os.path.join(out_dir, "_meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"fence_sets": sorted(self._fences),
+                       "has_state": self._state is not None}, fh)
+        os.replace(tmp, os.path.join(out_dir, "_meta.json"))
+
+    @staticmethod
+    def restore(out_dir: str) -> "FenceIndex":
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(out_dir, "_meta.json")) as fh:
+            meta = json.load(fh)
+        idx = FenceIndex()
+        for name in meta["fence_sets"]:
+            idx._fences[name] = pq.read_table(
+                os.path.join(out_dir, "fences", f"{name}.parquet")
+            ).to_pandas()
+        if meta["has_state"]:
+            idx._state = pq.read_table(os.path.join(out_dir, "state.parquet"))
+        return idx
+
+
 def last_positions(events_ds):
     """End-of-epoch state checkpoint: latest (lat, lon) per point_id."""
 

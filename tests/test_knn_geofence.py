@@ -422,3 +422,27 @@ class TestFenceIndex:
         fi.delete_fence("fleet")
         with pytest.raises(KeyError):
             fi.search("fleet", rd.from_arrow(ev3))
+
+    def test_checkpoint_restore_across_processes(self, tmp_path):
+        """Durable epoch state: checkpoint -> restore into a FRESH index
+        -> the next epoch sees the same last positions as an
+        uninterrupted run (INSIDE, not ENTER+INSIDE)."""
+        import ray.data as rd
+
+        fi = geofence.FenceIndex()
+        fi.add_fence("fleet")
+        fi.add_fence_point("fleet", "hq", 1.0, 1.0, 100.0)
+        ev1 = pa.table(
+            {"seq": pa.array([0], pa.int64()), "point_id": pa.array(["v1"]),
+             "lat": pa.array([1.05]), "lon": pa.array([1.05])}
+        )
+        fi.search("fleet", rd.from_arrow(ev1), nearest_n=None)
+        fi.checkpoint(str(tmp_path / "ckpt"))
+
+        fi2 = geofence.FenceIndex.restore(str(tmp_path / "ckpt"))
+        ev2 = pa.table(
+            {"seq": pa.array([1], pa.int64()), "point_id": pa.array(["v1"]),
+             "lat": pa.array([1.1]), "lon": pa.array([1.1])}
+        )
+        out = fi2.search("fleet", rd.from_arrow(ev2), nearest_n=None)
+        assert set(out[out.fence_key == "hq"]["status"]) == {"INSIDE"}
