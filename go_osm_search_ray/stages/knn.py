@@ -268,7 +268,8 @@ def knn_join(points_ds, queries: pa.Table, point_id_col: str = "point_id",
 def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
                   res: int = 6, point_id_col: str = "point_id",
                   batch_size: int = 4096, ring_radius: int | None = None,
-                  with_meta: bool = False, points_keyed: bool = False):
+                  with_meta: bool = False, points_keyed: bool = False,
+                  n_salt: int = 1):
     """Cell-partitioned kNN for LARGE query sides (millions of queries).
 
     The broadcast plan above needs the query table to fit in every
@@ -291,6 +292,16 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
     (the expansion loop needs them for the guarantee test).
     Returns (query_id, rank, point_id, dist_km) — rank only when the
     radius path finalizes (ring rounds finalize in the caller).
+
+    HOT-CELL SKEW: geodata clusters (a dense urban cell can hold a
+    large fraction of the corpus), and the groupby(cell) would hand one
+    task that whole cell.  n_salt > 1 splits every cell's POINT side
+    into hash(point_id) % n_salt shards and replicates each query row
+    to all shards of its ring cells — the group key becomes
+    (cell, salt), per-group work is bounded by the shard, and the
+    per-query merge of shard partials stays exact (the same combiner
+    argument as the broadcast path).  Query-side replication cost is
+    n_salt x ring rows — size n_salt to the hottest expected cell.
     """
     import pandas as pd
 
@@ -323,14 +334,32 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
     q_cells = queries_ds.map_batches(explode_queries, batch_format="pandas")
     p_cells = (points_ds if points_keyed
                else points_ds.map_batches(key_points, batch_format="pandas"))
-    # tag and union the two sides so one shuffle co-locates both
-    q_tag = q_cells.map_batches(
-        lambda b: b.assign(side="q", **{point_id_col: -1}), batch_format="pandas"
-    )
-    p_tag = p_cells.map_batches(
-        lambda b: b.assign(side="p", query_id=-1, q_lat=0.0, q_lon=0.0),
-        batch_format="pandas",
-    )
+
+    # tag and union the two sides so one shuffle co-locates both; with
+    # n_salt > 1 the points shard by id hash and queries replicate to
+    # every shard (see docstring)
+    def q_tag_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(side="q", **{point_id_col: -1})
+        if n_salt > 1:
+            b = b.loc[b.index.repeat(n_salt)].reset_index(drop=True)
+            b["salt"] = np.tile(np.arange(n_salt, dtype=np.int64),
+                                len(b) // n_salt)
+        else:
+            b["salt"] = np.int64(0)
+        return b
+
+    def p_tag_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(side="p", query_id=-1, q_lat=0.0, q_lon=0.0)
+        if n_salt > 1:
+            b["salt"] = (
+                np.abs(b[point_id_col].to_numpy().astype(np.int64)) % n_salt
+            )
+        else:
+            b["salt"] = np.int64(0)
+        return b
+
+    q_tag = q_cells.map_batches(q_tag_fn, batch_format="pandas")
+    p_tag = p_cells.map_batches(p_tag_fn, batch_format="pandas")
 
     def local_topk(g: pd.DataFrame) -> pd.DataFrame:
         qs = g[g["side"] == "q"]
@@ -370,7 +399,7 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
 
     partials = (
         q_tag.union(p_tag)
-        .groupby("cell")
+        .groupby(["cell", "salt"])
         .map_groups(local_topk, batch_format="pandas")
     )
     if with_meta:

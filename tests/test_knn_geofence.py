@@ -335,6 +335,53 @@ class TestKNNCellJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestKNNCellSalted:
+    def test_hot_cell_salting_exact(self):
+        """Every point planted in ONE hot cell; n_salt=4 shards the cell
+        and the per-query merge of shard partials stays exact."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(60)
+        n = 3000
+        points = pa.table(
+            {
+                "point_id": pa.array(np.arange(n), pa.int64()),
+                # one res-5 cell is ~5.6 degrees; cluster inside it
+                "lat": pa.array(rng.uniform(10.0, 12.0, n)),
+                "lon": pa.array(rng.uniform(10.0, 12.0, n)),
+            }
+        )
+        qn = 10
+        queries = pa.table(
+            {
+                "query_id": pa.array(np.arange(qn), pa.int64()),
+                "lat": pa.array(rng.uniform(10.0, 12.0, qn)),
+                "lon": pa.array(rng.uniform(10.0, 12.0, qn)),
+                "k": pa.array([5] * qn, pa.int64()),
+                "radius_km": pa.array([500.0] * qn),
+            }
+        )
+        got = (
+            knn.knn_cell_join(
+                rd.from_arrow(points).repartition(4),
+                rd.from_arrow(queries),
+                radius_km=500.0, k=5, res=5, n_salt=4,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            brute_knn(points, queries),
+            columns=["query_id", "rank", "point_id", "dist_km"],
+        )
+        got = got[["query_id", "rank", "point_id", "dist_km"]]
+        got["query_id"] = got["query_id"].astype(np.int64)
+        got["point_id"] = got["point_id"].astype(np.int64)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKNNCellUnbounded:
     def test_matches_brute_no_radius(self):
         """Ring expansion terminates with the EXACT unbounded top-k,
