@@ -311,46 +311,56 @@ def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
 # SimHash
 
 
+_POW2_63 = np.int64(1) << np.arange(63, dtype=np.int64)
+_KBITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64_batch(toks: pd.Series) -> np.ndarray:
+    """64-bit SimHash per token list, tf-weighted, vectorized
+    batch-wide: md5 runs ONCE per unique token in the batch; the
+    +/- votes accumulate with one np.add.at scatter; the bit pack
+    mirrors the SQL oracle's v_lo63 - bit63*(2^63-1) - bit63
+    two's-complement form bit-for-bit.  Order-invariant by
+    construction (depends only on the token bag)."""
+    n = len(toks)
+    out = np.zeros(n, dtype=np.int64)
+    lens = toks.str.len().to_numpy(np.int64) if n else np.array([], np.int64)
+    if n and lens.sum():
+        rows = np.repeat(np.arange(n), lens)
+        flat = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
+        tf = (
+            pd.DataFrame({"r": rows, "t": flat})
+            .groupby(["r", "t"], sort=False)
+            .size()
+        )
+        rr = tf.index.get_level_values(0).to_numpy()
+        tt = tf.index.get_level_values(1).to_numpy()
+        cc = tf.to_numpy().astype(np.int64)
+        uniq, inv = np.unique(tt, return_inverse=True)
+        hv = np.array([_hash64(t) for t in uniq], dtype=np.uint64)
+        signs = (
+            2 * ((hv[:, None] >> _KBITS[None, :]) & np.uint64(1)).astype(np.int64)
+            - 1
+        )  # U x 64 in {-1, +1}
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, rr, signs[inv] * cc[:, None])
+        bits = acc > 0
+        v_lo = (bits[:, :63].astype(np.int64) * _POW2_63[None, :]).sum(axis=1)
+        b63 = bits[:, 63].astype(np.int64)
+        out = v_lo - b63 * np.int64(9223372036854775807) - b63
+    return out
+
+
 def simhash_signatures(ds, id_col="doc_id", text_col="text"):
     """64-bit SimHash over token hashes, weighted by term frequency.
     Returned as int64 (two's complement) for Arrow friendliness.
-
-    Vectorized batch-wide: md5 runs ONCE per unique token in the batch;
-    the tf-weighted +/- votes accumulate with one np.add.at scatter;
-    the bit pack mirrors the SQL oracle's v_lo63 - bit63*(2^63-1) -
-    bit63 two's-complement form bit-for-bit."""
-    pow2_63 = np.int64(1) << np.arange(63, dtype=np.int64)
-    kbits = np.arange(64, dtype=np.uint64)
+    Core math in `simhash64_batch` (property-tested directly)."""
 
     def sig(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = tokenize_series(batch[text_col])
-        n = len(batch)
-        out = np.zeros(n, dtype=np.int64)
-        lens = toks.str.len().to_numpy(np.int64)
-        if n and lens.sum():
-            rows = np.repeat(np.arange(n), lens)
-            flat = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
-            tf = (
-                pd.DataFrame({"r": rows, "t": flat})
-                .groupby(["r", "t"], sort=False)
-                .size()
-            )
-            rr = tf.index.get_level_values(0).to_numpy()
-            tt = tf.index.get_level_values(1).to_numpy()
-            cc = tf.to_numpy().astype(np.int64)
-            uniq, inv = np.unique(tt, return_inverse=True)
-            hv = np.array([_hash64(t) for t in uniq], dtype=np.uint64)
-            signs = (
-                2 * ((hv[:, None] >> kbits[None, :]) & np.uint64(1)).astype(np.int64)
-                - 1
-            )  # U x 64 in {-1, +1}
-            acc = np.zeros((n, 64), dtype=np.int64)
-            np.add.at(acc, rr, signs[inv] * cc[:, None])
-            bits = acc > 0
-            v_lo = (bits[:, :63].astype(np.int64) * pow2_63[None, :]).sum(axis=1)
-            b63 = bits[:, 63].astype(np.int64)
-            out = v_lo - b63 * np.int64(9223372036854775807) - b63
-        return pd.DataFrame({"doc_id": batch[id_col], "simhash": out})
+        return pd.DataFrame({
+            "doc_id": batch[id_col],
+            "simhash": simhash64_batch(tokenize_series(batch[text_col])),
+        })
 
     return ds.map_batches(sig, batch_format="pandas")
 
