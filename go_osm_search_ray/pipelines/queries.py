@@ -1226,6 +1226,19 @@ SELECT event_type, event_id, value_c, rank FROM r WHERE rank <= 5
 """
 
 
+def q_event_type_users_hll(sf_dir: str):
+    """Approximate COUNT DISTINCT via mergeable HyperLogLog sketches
+    (stages/sketch.py) — the bounded-memory path when the exact
+    distinct-pair shuffle (q_event_type_users) is unaffordable.
+    Rows-only by design: the estimate is approximate (~1.6% at p=12),
+    so no value-hash oracle can exist; accuracy is pytest-bounded
+    against the exact counts (tests/test_text.py)."""
+    from ..stages.sketch import approx_count_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_count_distinct(ds, ["event_type"], "user_id", p=12)
+
+
 def q_event_type_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1832,6 +1845,8 @@ def registry():
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),
         "event_type_users": (q_event_type_users, SQL_EVENT_TYPE_USERS),
+        # approximate by construction -> rows-only (reason in docstring)
+        "event_type_users_hll": (q_event_type_users_hll, None),
         "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
         "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
         "boolean_or": (q_boolean_or, SQL_BOOLEAN_OR),

@@ -216,3 +216,29 @@ class TestAnalysis:
         )
         ws = docs.set_index("doc_id")["text"].str.split().str.len()
         assert (tc["ws_tokens"] == ws).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHLLSketch:
+    def test_approx_count_distinct_within_bound(self):
+        """Mergeable-HLL distinct counts within ~3x the 1.04/sqrt(m)
+        standard error of the exact answers, per group."""
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.sketch import approx_count_distinct
+
+        ds = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "user_id"]).repartition(4)
+        got = approx_count_distinct(ds, ["event_type"], "user_id",
+                                    p=12).to_pandas()
+        import duckdb
+
+        exact = duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) AS n "
+            f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).df().set_index("event_type")["n"]
+        assert set(got["event_type"]) == set(exact.index)
+        rel_bound = 3 * 1.04 / np.sqrt(4096)
+        for r in got.itertuples():
+            e = exact[r.event_type]
+            assert abs(r.approx_distinct - e) <= max(2, rel_bound * e)
