@@ -67,7 +67,12 @@ def full_text_search(docs_ds_factory, queries: pd.DataFrame,
                                     scoring=scoring)
     page = text_stage.top_k_multi(scored, k_by_query)
     page["corrected"] = page["query_id"].map(corrected_str)
-    return page[["query_id", "corrected", "rank", "doc_id", "score"]]
+    page = page[["query_id", "corrected", "rank", "doc_id", "score"]]
+    if hydrate_results and len(page):
+        # J6: one id-filtered scan hydrates every page at once
+        docs = hydrate(page["doc_id"].unique().tolist(), docs_ds_factory())
+        page = page.merge(docs, on="doc_id", how="left")
+    return page
 
 
 def autocomplete(docs_ds_factory, queries: pd.DataFrame,

@@ -43,6 +43,11 @@ class TestFullTextSearch:
         top_doc = out[out["rank"] == 1]["doc_id"].iloc[0]
         assert "dunia" in docs.loc[top_doc, "text"]
         assert "fantasi" in docs.loc[top_doc, "text"]
+        # J6 hydration: full doc rows joined onto the page
+        out_h = search.full_text_search(factory, qs, corrector, k=5,
+                                        hydrate_results=True)
+        assert "text" in out_h.columns
+        assert "dunia" in out_h[out_h["rank"] == 1]["text"].iloc[0]
 
     def test_autocomplete_candidates_scored(self):
         factory, corrector, docs = self.corpus()
