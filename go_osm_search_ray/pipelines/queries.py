@@ -1643,6 +1643,29 @@ FROM px GROUP BY 1
 """
 
 
+def q_image_embed_sums(sf_dir: str):
+    """EmbedImage's pooled-feature core proven end to end: decode ->
+    4x4 grid-pooled per-channel integer pixel sums (long format), vs a
+    SQL oracle grouping pixels by (x//2, y//2)."""
+    from ..stages import images
+
+    return _key_images(sf_dir, "part", "p_partkey").map_batches(
+        images.EmbedImageSums, batch_format="pyarrow", batch_size=1024,
+        concurrency=2,
+    )
+
+
+SQL_IMAGE_EMBED_SUMS = f"""
+WITH px AS ({SQL_IMG_PX})
+SELECT {SQL_IMG_ID} AS image_id,
+       y // 2 AS grid_y, x // 2 AS grid_x,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 def q_video_frame_stats(sf_dir: str):
     """Multimodal VIDEO leg: key-derived FVID containers (real PNG
     frames) -> frame sampling (stride 2) -> per-frame decode ->
@@ -1869,6 +1892,7 @@ def registry():
         "image_decode_stats": (q_image_decode_stats, SQL_IMAGE_DECODE_STATS),
         "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
         "image_resize_stats": (q_image_resize_stats, SQL_IMAGE_RESIZE_STATS),
+        "image_embed_sums": (q_image_embed_sums, SQL_IMAGE_EMBED_SUMS),
         "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
         "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     }

@@ -34,6 +34,30 @@ def read_table(sf_dir: str, name: str, columns=None, **kwargs):
     )
 
 
+def read_table_auto(path: str, columns=None, **kwargs):
+    """Format-dispatched Dataset reader: .parquet / .csv / .json(l).
+
+    Parquet projects columns at the read (pushdown); CSV and JSONL have
+    no projection pushdown in this Ray version, so the column prune
+    happens in the first map stage — rows still stream, but the bytes
+    leave storage: prefer parquet/lance for wide tables at scale.
+    """
+    import ray.data as rd
+
+    lower = path.lower()
+    if lower.endswith(".parquet"):
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    if lower.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+    elif lower.endswith(".json") or lower.endswith(".jsonl"):
+        ds = rd.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported table format: {path}")
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
 def read_table_arrow(sf_dir: str, name: str, columns=None):
     """Small side tables: read directly to an Arrow table (driver side)."""
     import pyarrow.parquet as pq

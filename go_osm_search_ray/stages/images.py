@@ -181,6 +181,46 @@ class AverageHash:
         )
 
 
+class EmbedImageSums:
+    """Integer-exact grid-pooled feature extraction (the oracle-able
+    core of EmbedImage): per (grid_y, grid_x) block, per-channel pixel
+    SUMS as int64, emitted LONG (one row per image x grid cell) so the
+    driver can value-hash them.  EmbedImage's float embedding is these
+    sums / block_pixels / 255."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids, gys, gxs, sums = [], [], [], []
+        for iid, blob, fmt in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            img = _decode(blob, fmt).astype(np.int64)
+            h, w = img.shape[:2]
+            for yi in range(g):
+                ys = slice(yi * h // g, max(yi * h // g + 1, (yi + 1) * h // g))
+                for xi in range(g):
+                    xs = slice(xi * w // g,
+                               max(xi * w // g + 1, (xi + 1) * w // g))
+                    ids.append(iid)
+                    gys.append(yi)
+                    gxs.append(xi)
+                    sums.append(img[ys, xs].sum(axis=(0, 1)))
+        s = np.asarray(sums, dtype=np.int64).reshape(-1, 3)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "grid_y": pa.array(gys, pa.int64()),
+                "grid_x": pa.array(gxs, pa.int64()),
+                "sum_r": pa.array(s[:, 0], pa.int64()),
+                "sum_g": pa.array(s[:, 1], pa.int64()),
+                "sum_b": pa.array(s[:, 2], pa.int64()),
+            }
+        )
+
+
 class EmbedImage:
     """Deterministic stand-in for batched vision-model inference: 4x4
     grid-pooled RGB means -> 48-dim float32 vector.  Swap `__call__`'s
