@@ -1747,18 +1747,27 @@ FROM lagged GROUP BY 1
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup pairs.  The SQL oracle is the EXACT-Jaccard
-    self-join at the same threshold: the engine's exact-verify stage
-    guarantees precision 1, and on this corpus (fixed permutation seed,
-    16 bands x 8 rows) LSH recall is empirically 1, so the outputs
-    coincide — a recall regression hash-mismatches.  (In general LSH
-    recall < 1; that is its contract, not a bug.)"""
+    """MinHash+LSH near-dup pairs in the INTEGER-EXACT output form
+    (id_a, id_b, common, size_a, size_b) — the repo's oracle design
+    rule (see module docstring): integer columns hash exactly, so the
+    driver's value-hash canonicalization of floats can't mis-compare.
+    The SQL oracle is the EXACT-Jaccard self-join at the same
+    threshold: the engine's exact-verify stage guarantees precision 1,
+    and on this corpus (fixed permutation seed, 16 bands x 8 rows) LSH
+    recall is empirically 1, so the outputs coincide — a recall
+    regression hash-mismatches.  (In general LSH recall < 1; that is
+    its contract, not a bug.)"""
     out = dedup.minhash_lsh_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.2, output="sizes",
     )
-    return out.map_batches(
-        lambda b: b.assign(jaccard=b["jaccard"].round(6)), batch_format="pandas"
-    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("id_a", "id_b", "common", "size_a", "size_b"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
 
 
 SQL_MINHASH_PAIRS = f"""
@@ -1772,8 +1781,8 @@ sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-SELECT p.id_a, p.id_b,
-       round(CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common), 6) AS jaccard
+SELECT p.id_a, p.id_b, CAST(p.common AS BIGINT) AS common,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b
 FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.2
 """

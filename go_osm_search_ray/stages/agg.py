@@ -64,6 +64,17 @@ def two_phase_agg(ds, partial_fn, keys, sums, combine: str = "shuffle",
     return out
 
 
+def join_safe(ds, n_blocks: int = 16):
+    """Prepare a bounded dataset to feed a hash `Dataset.join`:
+    map_groups pipelines (bucketed_group_apply included) can emit a
+    zero-column empty block, and Acero rejects a join input whose
+    blocks disagree on schema ("No match ... for key field reference").
+    A repartition concatenates the degenerate block away.  Use ONLY on
+    bounded sides (pair lists, label tables, candidate sets) — it is a
+    small all-to-all."""
+    return ds.repartition(n_blocks)
+
+
 def bucketed_group_apply(ds, keys, bucket_fn, n_buckets: int = 64):
     """Keyed-group work at UNBOUNDED group counts: co-locate rows by
     hash(keys) % n_buckets (cheap 64-group sort shuffle — every row of

@@ -157,19 +157,35 @@ class MinHasher:
 
 
 def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
-                      num_perm: int = 128, bands: int = 16, threshold: float = 0.5):
+                      num_perm: int = 128, bands: int = 16, threshold: float = 0.5,
+                      output: str = "jaccard", num_partitions: int = 16):
     """Near-dup pairs: shingle -> minhash -> banded buckets -> candidate
     pairs (signature-estimated Jaccard prefilter) -> exact-Jaccard
-    verify of the SURVIVING candidates only.  Returns a Dataset of
-    (id_a, id_b, jaccard) with id_a < id_b and exact jaccard >= threshold.
+    verify of the SURVIVING candidates only.  Returns a Dataset with
+    id_a < id_b and exact jaccard >= threshold.
+
+    output="jaccard": (id_a, id_b, jaccard rounded to 6).
+    output="sizes":   (id_a, id_b, common, size_a, size_b) — the
+    integer-exact form (hashes exactly against the SQL oracle; the
+    repo's oracle design rule, pipelines/queries.py:6-11).
 
     Scale shape: the banding shuffle moves ONLY (band, bucket, doc_id,
     signature) — a signature is a fixed num_perm*8 bytes, independent of
     document length, so per-doc shuffle bytes are bands * (16 B bucket +
     1 KiB sig), never the corpus text (shipping each doc's shingle list
     in every band row would amplify the corpus x bands through the
-    object store).  The exact verify re-scans the source for CANDIDATE
-    docs only (bounded by the LSH candidate count, << corpus).
+    object store).  The exact verify is a KEYED plan end to end — no
+    driver-side shingle sets:
+
+      1. hash semi-join prunes the corpus to candidate docs,
+      2. each candidate doc's sorted shingle-hash array (uint64 ->
+         bytes; ~8 B per token, far smaller than the text) joins onto
+         its pairs by id_a then id_b (hash joins, num_partitions-way),
+      3. the exact intersection count runs vectorized per batch.
+
+    Every stage is bounded by the candidate count per partition, so a
+    web-corpus dup rate (candidates ~ O(corpus)) spills to the object
+    store instead of the driver heap.
     """
     import ray.data as rd
 
@@ -199,9 +215,12 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     # verify below makes the final call
     est_floor = threshold * 0.5
 
+    _empty_pairs = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+
     def cands_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return _empty_pairs
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].tolist()
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
@@ -211,7 +230,10 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
             for off in np.nonzero(est >= est_floor)[0]:
                 ra.append(ids[i])
                 rb.append(ids[i + 1 + off])
-        return pd.DataFrame({"id_a": ra, "id_b": rb})
+        if not ra:
+            return _empty_pairs
+        return pd.DataFrame({"id_a": np.asarray(ra, dtype=np.int64),
+                             "id_b": np.asarray(rb, dtype=np.int64)})
 
     from .agg import bucketed_group_apply
 
@@ -219,60 +241,181 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
         frames = [cands_in_bucket(grp)
                   for _, grp in g.groupby(["band", "bucket"], sort=False)]
         return (pd.concat(frames, ignore_index=True) if frames
-                else pd.DataFrame({"id_a": [], "id_b": []}))
+                else _empty_pairs)
 
     cand = bucketed_group_apply(
         ds.map_batches(sig_rows, batch_format="pandas"),
         ["band", "bucket"], cands_hash_bucket,
     )
-    # same pair surfaces from several bands -> bucketed distinct
-    cand = bucketed_group_apply(
-        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
-    ).to_pandas()  # bounded by candidate count, not corpus size
+    # same pair surfaces from several bands -> bucketed distinct.
+    # Materialized: the pair list re-enters three hash joins below, and
+    # the zero-candidate early-out needs its count.
+    from .agg import join_safe
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "jaccard": pd.Series([], dtype=np.float64)})
-    if len(cand) == 0:
+    cand = join_safe(bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
+    )).materialize()
+
+    if output == "sizes":
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "common": pd.Series([], dtype=np.int64),
+                              "size_a": pd.Series([], dtype=np.int64),
+                              "size_b": pd.Series([], dtype=np.int64)})
+    else:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+    if cand.count() == 0:
         return rd.from_pandas(empty)
 
-    # exact verify: second scan restricted to candidate docs
-    wanted = set(cand["id_a"]) | set(cand["id_b"])
+    # keyed exact verify, step 1: candidate doc ids (distinct per block;
+    # the semi-join dedupes globally)
+    def pair_ids(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([b["id_a"].to_numpy(),
+                                        b["id_b"].to_numpy()]))
+        return pd.DataFrame({id_col: ids})
 
-    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
-        sub = batch[batch[id_col].isin(wanted)]
-        toks = tokenize_series(sub[text_col])
+    cand_ids = cand.map_batches(pair_ids, batch_format="pandas")
+    cand_docs = ds.join(cand_ids, "left_semi", num_partitions, on=(id_col,))
+
+    # step 2: per-doc sorted shingle-hash arrays as fixed-width bytes
+    # (uint64 LE) — Arrow binary survives the Acero join, a tensor
+    # column would not
+    def doc_hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize_series(batch[text_col])
+        hs = [np.unique(np.fromiter((_hash64(s) for s in _shingles(ws, k_shingle)),
+                                    dtype=np.uint64))
+              for ws in toks]
         return pd.DataFrame({
-            id_col: sub[id_col].to_numpy(),
-            "shingles": [sorted(_shingles(ws, k_shingle)) for ws in toks],
+            id_col: batch[id_col].to_numpy(),
+            "hashes": [h.tobytes() for h in hs],
+            "set_size": np.array([len(h) for h in hs], dtype=np.int64),
         })
 
-    sh_df = ds.map_batches(shingle_sets, batch_format="pandas").to_pandas()
-    sets = {d: set(s) for d, s in zip(sh_df[id_col], sh_df["shingles"])}
-    ra, rb, rj = [], [], []
-    for a, b in zip(cand["id_a"], cand["id_b"]):
-        sa, sb = sets[a], sets[b]
-        union = len(sa | sb)
-        jac = len(sa & sb) / union if union else 1.0
-        if jac >= threshold:
-            ra.append(a); rb.append(b); rj.append(jac)
-    if not ra:
-        return rd.from_pandas(empty)
-    return rd.from_pandas(pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj}))
+    # materialized: `sets` feeds BOTH joins below, and running one
+    # hash-shuffle per execution keeps each join's aggregator pool from
+    # starving the next one's on small CPU counts (blocks stay in the
+    # spillable object store — this is candidate-bounded data, never
+    # driver heap)
+    sets = cand_docs.map_batches(doc_hash_rows,
+                                 batch_format="pandas").materialize()
+
+    # step 3: attach both shingle sets by hash join, verify per batch
+    ja = cand.join(sets, "inner", num_partitions,
+                   on=("id_a",), right_on=(id_col,)) \
+             .rename_columns({"hashes": "hashes_a", "set_size": "size_a"}) \
+             .materialize()
+    jb = ja.join(sets, "inner", num_partitions,
+                 on=("id_b",), right_on=(id_col,)) \
+           .rename_columns({"hashes": "hashes_b", "set_size": "size_b"})
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        common = np.fromiter(
+            (len(np.intersect1d(np.frombuffer(x, dtype=np.uint64),
+                                np.frombuffer(y, dtype=np.uint64),
+                                assume_unique=True))
+             for x, y in zip(b["hashes_a"], b["hashes_b"])),
+            dtype=np.int64, count=n)
+        sa = b["size_a"].to_numpy(np.int64)
+        sb = b["size_b"].to_numpy(np.int64)
+        union = sa + sb - common
+        jac = np.where(union > 0, common / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        out = pd.DataFrame({
+            "id_a": b["id_a"].to_numpy()[keep],
+            "id_b": b["id_b"].to_numpy()[keep],
+        })
+        if output == "sizes":
+            out["common"] = common[keep]
+            out["size_a"] = sa[keep]
+            out["size_b"] = sb[keep]
+        else:
+            out["jaccard"] = np.round(jac[keep], 6)
+        return out
+
+    return jb.map_batches(verify, batch_format="pandas")
+
+
+def cc_labels(pairs_ds, num_partitions: int = 16, max_iters: int = 25):
+    """Distributed connected components over an edge Dataset
+    (id_a, id_b) by iterated min-label propagation: every node starts
+    at label = min(node, neighbors); each round a node's label becomes
+    the min over its own label and its neighbors' labels (hash join of
+    edges with labels + bucket-hash min-combine).  Labels are monotone
+    non-increasing, so the per-round label SUM strictly decreases until
+    the fixpoint — convergence in O(component diameter) rounds (dup
+    components are overwhelmingly small cliques: 1-2 rounds).
+
+    Returns a Dataset of (node, label) where label = the component's
+    minimum node id.  Nothing touches the driver except the per-round
+    convergence scalar; the edge list and labels stay keyed datasets,
+    so web-corpus dup rates (pairs ~ O(corpus)) spill, not OOM.
+    Reference analogue: the dedup resolution loop indexer.go:582-618.
+    """
+    from .agg import bucketed_group_apply
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()]),
+            "nbr": np.concatenate([b["id_b"].to_numpy(), b["id_a"].to_numpy()]),
+        })
+
+    from .agg import join_safe
+
+    edges = join_safe(
+        pairs_ds.map_batches(sym, batch_format="pandas"), num_partitions
+    ).materialize()
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False)["label"].min()
+
+    def init_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": b["node"],
+            "label": np.minimum(b["node"].to_numpy(), b["nbr"].to_numpy()),
+        })
+
+    labels = join_safe(bucketed_group_apply(
+        edges.map_batches(init_partial, batch_format="pandas"),
+        ["node"], min_label,
+    ), num_partitions).materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, "inner", num_partitions, on=("node",))
+            .map_batches(
+                lambda b: pd.DataFrame({"node": b["nbr"], "label": b["label"]}),
+                batch_format="pandas",
+            )
+        )
+        labels = join_safe(bucketed_group_apply(
+            labels.union(msgs), ["node"], min_label
+        ), num_partitions).materialize()
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
 
 
 def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
                     threshold: float = 0.2, max_df: int | None = None,
-                    method: str = "exact"):
+                    method: str = "exact", cc: str = "distributed",
+                    num_partitions: int = 16):
     """Training-data near-dedup END TO END: pair generation (exact
     shingle-Jaccard, or MinHash+LSH via method="minhash") -> connected
     components -> keep the MIN-ID representative per component.
     Returns a Dataset of kept ids (docs with no near-dup survive).
 
-    The pair list is bounded by the near-dup rate (<< corpus), so the
-    union-find runs driver-side; swap in distributed label propagation
-    (iterated min-neighbor joins) if pair counts ever rival the corpus.
-    The survivors filter streams — the corpus never materializes.
+    cc="distributed" (default): min-label propagation over the pair
+    Dataset (`cc_labels`) + a hash ANTI-join of the corpus against the
+    non-representative nodes — no whole-dataset driver state anywhere;
+    safe when pair counts rival the corpus (web-corpus dup rates of
+    20-50% make them).  cc="driver": the small-pair-count fast path —
+    union-find on a collected pair list, broadcast drop set; only for
+    provably bounded dup rates.
     """
     if method == "minhash":
         pairs_ds = minhash_lsh_pairs(ds, id_col, text_col, k_shingle,
@@ -280,6 +423,22 @@ def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     else:
         pairs_ds = jaccard_pairs(ds, id_col, text_col, k_shingle,
                                  threshold=threshold, max_df=max_df)
+
+    if cc == "distributed":
+        from .agg import join_safe
+
+        pairs_ds = join_safe(pairs_ds, num_partitions).materialize()
+        if pairs_ds.count() == 0:
+            return ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
+        labels = cc_labels(pairs_ds, num_partitions=num_partitions)
+        drop = labels.map_batches(
+            lambda b: b[b["node"] != b["label"]][["node"]],
+            batch_format="pandas",
+        )  # labels is join_safe-repartitioned, so blocks are uniform
+        ids = ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
+        return ids.join(drop, "left_anti", num_partitions,
+                        on=(id_col,), right_on=("node",))
+
     pairs = pairs_ds.to_pandas()  # bounded by near-dup pair count
 
     parent: dict = {}
@@ -365,44 +524,66 @@ def simhash_signatures(ds, id_col="doc_id", text_col="text"):
     return ds.map_batches(sig, batch_format="pandas")
 
 
-def simhash_dup_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3):
+def simhash_dup_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3,
+                      max_bucket: int | None = 4096):
     """Near-dup pairs by SimHash: 4-way band blocking (any identical
-    16-bit band -> candidate), exact Hamming verify <= max_hamming."""
+    16-bit band -> candidate), exact Hamming verify <= max_hamming.
+
+    HOT-BUCKET guard: a (band, bucket) group of g docs emits O(g^2)
+    candidate pairs, and a duplicate-heavy corpus (the point of dedup)
+    piles identical signatures into one bucket.  `max_bucket` caps the
+    per-group work the same way `jaccard_pairs.max_df` caps hot
+    shingles: groups above the cap are dropped (standard LSH practice —
+    an over-full 16-bit bucket is dominated by either boilerplate
+    near-identical content, better handled by `exact_dedup` first, or
+    band-hash coincidence carrying no signal).  None = no cap (only
+    for bounded corpora).  Pair emission is a vectorized self-merge +
+    batch-wide XOR-popcount — no per-group Python loop."""
 
     sigs = simhash_signatures(ds, id_col, text_col)
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["simhash"].to_numpy().view(np.uint64)
-        out = {"band": [], "bucket": [], "doc_id": [], "simhash": []}
-        for b in range(4):
-            chunk = (s >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            out["band"].extend([b] * len(batch))
-            out["bucket"].extend(chunk.tolist())
-            out["doc_id"].extend(batch[id_col].tolist())
-            out["simhash"].extend(batch["simhash"].tolist())
-        return pd.DataFrame(out)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g["doc_id"].tolist()
-        hs = g["simhash"].to_numpy().view(np.uint64)
-        ra, rb, rh = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = int(bin(int(hs[i] ^ hs[j])).count("1"))
-                if ham <= max_hamming:
-                    ra.append(ids[i]); rb.append(ids[j]); rh.append(ham)
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "hamming": rh})
-
-    from .agg import bucketed_group_apply
+        n = len(batch)
+        return pd.DataFrame({
+            "band": np.repeat(np.arange(4, dtype=np.int64), n),
+            "bucket": np.concatenate([
+                ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                for b in range(4)
+            ]),
+            "doc_id": np.tile(batch[id_col].to_numpy(), 4),
+            "simhash": np.tile(batch["simhash"].to_numpy(), 4),
+        })
 
     def pairs_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        frames = [pairs(grp)
-                  for _, grp in g.groupby(["band", "bucket"], sort=False)]
-        return (pd.concat(frames, ignore_index=True) if frames
-                else pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}))
+        """All (band, bucket) groups in this hash bucket at once: cap
+        hot groups, self-merge on the group key (C-level hash join),
+        then one batch-wide XOR + unpackbits popcount."""
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        if max_bucket is not None:
+            sz = g.groupby(["band", "bucket"], sort=False)["doc_id"] \
+                  .transform("size")
+            g = g[sz.to_numpy() <= max_bucket]
+            if len(g) < 2:
+                return empty
+        m = g.merge(g, on=["band", "bucket"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if len(m) == 0:
+            return empty
+        xor = (m["simhash_a"].to_numpy().view(np.uint64)
+               ^ m["simhash_b"].to_numpy().view(np.uint64))
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1) \
+                .sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": m["doc_id_a"].to_numpy()[keep],
+                             "id_b": m["doc_id_b"].to_numpy()[keep],
+                             "hamming": ham[keep]})
+
+    from .agg import bucketed_group_apply
 
     cand = bucketed_group_apply(
         sigs.map_batches(band_rows, batch_format="pandas"),

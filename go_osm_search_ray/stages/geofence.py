@@ -5,12 +5,12 @@ The reference processes one event at a time: read last position from
 bbolt, write the new one, emit transition statuses against the 3
 nearest fence circles.  Ray-Data-native equivalent:
 
-1. previous position = a per-point lag: ``groupby(point_id)`` +
-   ``map_groups`` sorting by ``seq`` and shifting (ordering assumption:
-   per-point sequential updates, SURVEY.md §2.10).  Missing previous
-   -> the reference's (-999, -999) sentinel (fence_index.go:61-64) —
-   note the sentinel deliberately FLOWS INTO the CROSS line test,
-   exactly as in the reference.
+1. previous position = a per-point lag: bucket-hash shuffle on
+   point_id + one vectorized sort+shift per bucket (ordering
+   assumption: per-point sequential updates, SURVEY.md §2.10).
+   Missing previous -> the reference's (-999, -999) sentinel
+   (fence_index.go:61-64) — note the sentinel deliberately FLOWS INTO
+   the CROSS line test, exactly as in the reference.
 2. fences are a broadcast side table; each event batch evaluates
    containment + transitions vectorized against its ``nearest_n``
    fences (or all fences when ``nearest_n is None``).
@@ -38,30 +38,55 @@ from .. import geo
 SENTINEL = -999.0
 
 
-def with_prev_position(events_ds, state: pa.Table | None = None):
+# a checkpoint row must sort BEFORE every real event of its point; real
+# seqs are application counters, never near int64 min
+_STATE_SEQ = np.int64(-(1 << 62))
+
+
+def with_prev_position(events_ds, state: pa.Table | None = None,
+                       n_buckets: int = 64):
     """Add (old_lat, old_lon) per event via per-point ordered lag.
 
     ``state`` is an optional previous-epoch checkpoint
     (point_id, lat, lon): a point's first event in this epoch uses its
     checkpointed position instead of the sentinel.
-    """
-    state_df = state.to_pandas().set_index("point_id") if state is not None else None
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq", kind="mergesort")
+    Scale shape: point_ids are UNBOUNDED (one per tracked entity), so
+    the lag is a bucket-hash shuffle (hash(point_id) % n_buckets) plus
+    ONE vectorized sort+shift per bucket over ALL its points — never a
+    ``groupby(point_id)`` sort over millions of groups or a per-point
+    Python task (the sessionize pattern, stages/agg.py).  The
+    checkpoint joins in as synthetic first rows (seq = -2^62) flowing
+    through the same shuffle — the state table never has to fit in one
+    task or on the driver.
+    """
+    import ray.data as rd
+
+    from .agg import bucketed_group_apply
+
+    cols = ["point_id", "seq", "lat", "lon"]
+
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        return b[cols].assign(_st=np.int8(0))
+
+    ds = events_ds.map_batches(tag_events, batch_format="pandas")
+    if state is not None:
+        sdf = state.to_pandas()[["point_id", "lat", "lon"]].copy()
+        sdf["seq"] = _STATE_SEQ
+        sdf["_st"] = np.int8(1)
+        ds = ds.union(rd.from_pandas(sdf[cols + ["_st"]]))
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["point_id", "seq"], kind="mergesort").copy()
         g["old_lat"] = g["lat"].shift(1)
         g["old_lon"] = g["lon"].shift(1)
-        first = g.index[0]
-        if state_df is not None and g["point_id"].iloc[0] in state_df.index:
-            row = state_df.loc[g["point_id"].iloc[0]]
-            g.loc[first, "old_lat"] = row["lat"]
-            g.loc[first, "old_lon"] = row["lon"]
-        else:
-            g.loc[first, "old_lat"] = SENTINEL
-            g.loc[first, "old_lon"] = SENTINEL
-        return g
+        first = g["point_id"].ne(g["point_id"].shift(1)).to_numpy()
+        g.loc[first, "old_lat"] = SENTINEL
+        g.loc[first, "old_lon"] = SENTINEL
+        g = g[g["_st"] == 0]
+        return g.drop(columns=["_st"])
 
-    return events_ds.groupby("point_id").map_groups(lag, batch_format="pandas")
+    return bucketed_group_apply(ds, ["point_id"], lag_bucket, n_buckets)
 
 
 class FenceEvaluator:
@@ -298,11 +323,22 @@ class FenceIndex:
         return idx
 
 
-def last_positions(events_ds):
-    """End-of-epoch state checkpoint: latest (lat, lon) per point_id."""
+def last_positions(events_ds, n_buckets: int = 64):
+    """End-of-epoch state checkpoint: latest (lat, lon) per point_id.
 
-    def last(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq", kind="mergesort")
-        return g.tail(1)[["point_id", "lat", "lon"]]
+    Same bucket-hash shape as `with_prev_position`: one vectorized
+    sort + last-row-per-point mask per bucket, no per-point task."""
+    from .agg import bucketed_group_apply
 
-    return events_ds.groupby("point_id").map_groups(last, batch_format="pandas")
+    def last_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["point_id", "seq"], kind="mergesort")
+        is_last = g["point_id"].ne(g["point_id"].shift(-1)).to_numpy()
+        return g.loc[is_last, ["point_id", "lat", "lon"]]
+
+    return bucketed_group_apply(
+        events_ds.map_batches(
+            lambda b: b[["point_id", "seq", "lat", "lon"]],
+            batch_format="pandas",
+        ),
+        ["point_id"], last_bucket, n_buckets,
+    )

@@ -159,6 +159,51 @@ class TestJaccardAndMinhash:
         assert (0, 100000) in pairs
         assert (got["hamming"] <= 3).all()
 
+    def test_simhash_hot_bucket_bounded(self):
+        """10^4 IDENTICAL docs pile one signature into every band
+        bucket; max_bucket caps the group (skipped, bounded work)
+        while a small planted dup pair elsewhere is still found."""
+        import ray.data as rd
+
+        rows = [{"doc_id": i, "text": "the same boilerplate text every time"}
+                for i in range(10_000)]
+        rows.append({"doc_id": 20000, "text": "qqq www eee rrr ttt yyy"})
+        rows.append({"doc_id": 20001, "text": "qqq www eee rrr ttt yyy"})
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+        got = dedup.simhash_dup_pairs(ds, max_hamming=3,
+                                      max_bucket=100).to_pandas()
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        assert (20000, 20001) in pairs
+        # the capped hot class emits no pairs
+        assert all(a >= 20000 for a, _ in pairs)
+
+    def test_cc_labels_planted_components(self):
+        """Distributed min-label propagation: a 7-node chain (needs
+        multiple propagation rounds), a triangle, an isolated edge."""
+        import ray.data as rd
+
+        pairs = pd.DataFrame({
+            "id_a": [1, 2, 10, 11, 12, 50, 100, 101, 102, 103, 104, 105],
+            "id_b": [2, 3, 11, 12, 13, 51, 101, 102, 103, 104, 105, 106],
+        })
+        labels = dedup.cc_labels(rd.from_pandas(pairs).repartition(3)).to_pandas()
+        lab = dict(zip(labels["node"], labels["label"]))
+        assert lab[1] == lab[2] == lab[3] == 1
+        assert lab[10] == lab[11] == lab[12] == lab[13] == 10
+        assert lab[50] == lab[51] == 50
+        assert all(lab[n] == 100 for n in range(100, 107))
+
+    def test_near_dedup_driver_flag_matches_distributed(self):
+        import ray.data as rd
+
+        df = docs_with_dups().head(150)
+        a = set(dedup.near_dedup_keep(rd.from_pandas(df).repartition(4),
+                                      threshold=0.2).to_pandas()["doc_id"])
+        b = set(dedup.near_dedup_keep(rd.from_pandas(df).repartition(4),
+                                      threshold=0.2, cc="driver")
+                .to_pandas()["doc_id"])
+        assert a == b
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestEmbeddings:

@@ -271,6 +271,34 @@ class TestGeofence:
         ).to_pandas()
         assert {"INSIDE", "OUTSIDE", "ENTER", "EXIT"} <= set(got["status"])
 
+    def test_lag_scales_to_100k_points(self):
+        """100k distinct point_ids through the bucket-hash lag: the
+        64-bucket shuffle must complete fast (no per-point dispatch,
+        no sorted groupby over 100k groups)."""
+        import time
+
+        import ray.data as rd
+
+        n = 100_000
+        df = pd.DataFrame({
+            "point_id": np.repeat([f"p{i}" for i in range(n)], 2),
+            "seq": np.tile(np.array([1, 2], dtype=np.int64), n),
+            "lat": np.zeros(2 * n),
+            "lon": np.tile(np.array([0.0, 1.0]), n),
+        })
+        t0 = time.time()
+        out = geofence.with_prev_position(
+            rd.from_pandas(df).repartition(8)
+        ).to_pandas()
+        wall = time.time() - t0
+        assert len(out) == 2 * n
+        first = out[out["seq"] == 1]
+        second = out[out["seq"] == 2]
+        assert (first["old_lat"] == geofence.SENTINEL).all()
+        assert (second["old_lat"] == 0.0).all()
+        assert (second["old_lon"] == 0.0).all()
+        assert wall < 60, f"lag took {wall:.0f}s for 100k points"
+
     def test_epoch_state_checkpoint(self):
         import ray.data as rd
 
