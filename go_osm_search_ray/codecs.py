@@ -52,12 +52,13 @@ def png_encode(rgb: np.ndarray, level: int = 6) -> bytes:
 def png_decode(data: bytes) -> np.ndarray:
     """Decode a PNG produced by :func:`png_encode` (8-bit RGB, filter 0).
 
-    Returns a READ-ONLY view over the decompressed buffer (no copy):
-    per-image allocation churn is the measured scaling bottleneck of the
-    decode stage at high worker counts — callers that need to mutate
-    must copy.  Fast path: our own encoder emits exactly
-    SIG|IHDR|IDAT|IEND, so the chunk offsets are fixed; anything else
-    falls back to the general chunk walk."""
+    Returns a READ-ONLY array — callers that need to mutate must copy.
+    (Stripping the per-scanline filter byte means the pixel data is a
+    non-contiguous slice, so the reshape necessarily copies once for
+    h > 1; the fast path's measured win is skipping the chunk walk and
+    per-chunk slicing, not avoiding that copy.)  Fast path: our own
+    encoder emits exactly SIG|IHDR|IDAT|IEND, so the chunk offsets are
+    fixed; anything else falls back to the general chunk walk."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     # fast path: single IDAT at the fixed offset our encoder produces
@@ -70,7 +71,10 @@ def png_decode(data: bytes) -> np.ndarray:
             ).reshape(h, 1 + w * 3)
             if (raw[:, 0] != 0).any():
                 raise NotImplementedError("only filter 0 supported")
-            return raw[:, 1:].reshape(h, w, 3)
+            out = raw[:, 1:].reshape(h, w, 3)
+            if out.flags.writeable:  # h == 1 stays a read-only view
+                out.flags.writeable = False
+            return out
     pos, w, h, idat = 8, None, None, b""
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])

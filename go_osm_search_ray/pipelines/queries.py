@@ -809,13 +809,17 @@ sh AS (SELECT doc_id, i AS p,
        WHERE len(t) > 0),
 h AS (SELECT doc_id, p, {_sql_h32('md5(shingle)')} AS h FROM sh),
 n AS (SELECT doc_id, COUNT(*) AS cnt FROM h GROUP BY doc_id),
-w AS (SELECT doc_id, p, h,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
-                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
-      FROM h)
-SELECT DISTINCT w.doc_id, CAST(w.h AS BIGINT) AS fingerprint
-FROM w JOIN n ON n.doc_id = w.doc_id
-WHERE n.cnt <= 4 OR (w.p >= 4 AND w.h = w.wmin)
+w AS (SELECT a.doc_id, a.p - o.o AS ws, a.p, a.h
+      FROM h a, unnest(range(0, 4)) AS o(o)
+      WHERE a.p - o.o >= 1),
+r AS (SELECT w.doc_id, w.ws, w.p, w.h,
+             row_number() OVER (PARTITION BY w.doc_id, w.ws
+                                ORDER BY w.h, w.p DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY w.doc_id, w.ws) AS wn
+      FROM w)
+SELECT DISTINCT r.doc_id, CAST(r.h AS BIGINT) AS fingerprint
+FROM r JOIN n ON n.doc_id = r.doc_id
+WHERE n.cnt <= 4 OR (r.wn = 4 AND r.rn = 1)
 """
 
 
@@ -907,18 +911,15 @@ def q_pricing_summary(sf_dir: str):
         )
         return g
 
-    from ray.data.aggregate import Sum
+    from ..stages.agg import two_phase_agg
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    out = (
-        parts.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_c", alias_name="sum_qty_c"),
-            Sum("sum_base_c", alias_name="sum_base_c"),
-            Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
-            Sum("n", alias_name="n"),
-        )
-        .to_pandas()
+    # (returnflag, linestatus) is an enum-like bounded key space (<= 9
+    # combos): partials collapse each block to <= 9 rows, so the driver
+    # combine skips the native sort-groupby's fixed all-to-all cost
+    out = two_phase_agg(
+        ds, partial, ["l_returnflag", "l_linestatus"],
+        ["sum_qty_c", "sum_base_c", "sum_disc_price_e4", "n"],
+        combine="driver",
     )
     for c in ["sum_qty_c", "sum_base_c", "sum_disc_price_e4", "n"]:
         out[c] = out[c].astype(np.int64)
@@ -967,15 +968,24 @@ def q_segment_revenue(sf_dir: str):
             )
             return g
 
-    from ray.data.aggregate import Sum
+    from ..stages.knn import cached_state
+
+    # task mode + per-process compile cache: elastic across all CPUs
+    # (an explicit concurrency=2 pool throttled this stage to 2 workers
+    # on a 32-CPU box)
+    key = f"segjoin/{ref.hex()}"
+
+    def join_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return cached_state(key, Join)(b)
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    # 5 market segments -> each block collapses to <= 5 partial rows;
+    # driver combine beats the native sort-groupby's fixed cost
+    parts = ds.map_batches(join_fn, batch_format="pandas").to_pandas()
     out = (
-        ds.map_batches(Join, batch_format="pandas", concurrency=2)
-        .groupby("c_mktsegment")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"),
-                   Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
+        parts.groupby("c_mktsegment", sort=True, as_index=False)[
+            ["revenue_c", "n_orders"]
+        ].sum()
     )
     out["revenue_c"] = out["revenue_c"].astype(np.int64)
     out["n_orders"] = out["n_orders"].astype(np.int64)
@@ -992,11 +1002,21 @@ GROUP BY c.c_mktsegment
 
 
 def q_top_orders(sf_dir: str):
+    """Global top-10 by price: per-block partial top-10 combiner + a
+    tiny driver merge of O(blocks x 10) rows — never an all-to-all
+    sort for a k=10 answer (same plan as stages/text.top_k)."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort").head(10)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     df = (
-        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+        parts.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
     )
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df
@@ -1516,6 +1536,18 @@ def _key_images(sf_dir: str, table: str, key_col: str):
     )
 
 
+def _task_stage(ds_, cls, key, batch_size: int = 1024, **ctor):
+    """Task-mode stage for a cheap-constructor batch class: elastic
+    over every CPU with a per-process instance cache (an explicit
+    concurrency=2 pool throttled these stages on a 32-CPU box)."""
+    from ..stages.knn import cached_state
+
+    def fn(b: pa.Table) -> pa.Table:
+        return cached_state(key, lambda: cls(**ctor))(b)
+
+    return ds_.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 SQL_IMG_ID = "'img' || lpad(CAST(k AS VARCHAR), 10, '0')"
 SQL_IMG_PX = """
   SELECT CAST(p_partkey AS BIGINT) AS k, ux.x AS x, uy.y AS y,
@@ -1532,10 +1564,8 @@ def q_image_decode_stats(sf_dir: str):
     hash-match a pure-SQL pixel-math oracle that never decodes."""
     from ..stages import images
 
-    return _key_images(sf_dir, "part", "p_partkey").map_batches(
-        images.DecodeSums, batch_format="pyarrow", batch_size=1024,
-        concurrency=2,
-    )
+    return _task_stage(_key_images(sf_dir, "part", "p_partkey"),
+                       images.DecodeSums, "q/decodesums")
 
 
 SQL_IMAGE_DECODE_STATS = f"""
@@ -1554,10 +1584,8 @@ def q_image_ahash(sf_dir: str):
     mirrored bit-for-bit in SQL."""
     from ..stages import images
 
-    out = _key_images(sf_dir, "part", "p_partkey").map_batches(
-        images.AverageHashInt, batch_format="pyarrow", batch_size=1024,
-        concurrency=2,
-    )
+    out = _task_stage(_key_images(sf_dir, "part", "p_partkey"),
+                      images.AverageHashInt, "q/ahashint")
     return out.select_columns(["image_id", "ahash_int"])
 
 
@@ -1622,13 +1650,8 @@ def q_image_resize_stats(sf_dir: str):
     without ever touching the codec."""
     from ..stages import images
 
-    resized = images.resize(
-        _key_images(sf_dir, "part", "p_partkey"), 4, 4, concurrency=2
-    )
-    return resized.map_batches(
-        images.DecodeSums, batch_format="pyarrow", batch_size=1024,
-        concurrency=2,
-    )
+    resized = images.resize(_key_images(sf_dir, "part", "p_partkey"), 4, 4)
+    return _task_stage(resized, images.DecodeSums, "q/decodesums")
 
 
 SQL_IMAGE_RESIZE_STATS = f"""
@@ -1649,10 +1672,8 @@ def q_image_embed_sums(sf_dir: str):
     SQL oracle grouping pixels by (x//2, y//2)."""
     from ..stages import images
 
-    return _key_images(sf_dir, "part", "p_partkey").map_batches(
-        images.EmbedImageSums, batch_format="pyarrow", batch_size=1024,
-        concurrency=2,
-    )
+    return _task_stage(_key_images(sf_dir, "part", "p_partkey"),
+                       images.EmbedImageSums, "q/embedsums")
 
 
 SQL_IMAGE_EMBED_SUMS = f"""
@@ -1678,8 +1699,8 @@ def q_video_frame_stats(sf_dir: str):
         lambda b: synth.videos_from_keys(b["p_partkey"].to_numpy()),
         batch_format="pyarrow",
     )
-    frames = vids.map_batches(images.FrameSample, fn_constructor_kwargs={"stride": 2},
-                              batch_format="pyarrow", concurrency=2)
+    frames = _task_stage(vids, images.FrameSample, "q/framesample2",
+                         stride=2)
 
     def frame_sums(b: pa.Table) -> pa.Table:
         from .. import codecs
@@ -1725,8 +1746,7 @@ def q_audio_features(sf_dir: str):
         lambda b: synth.audio_from_keys(b["p_partkey"].to_numpy()),
         batch_format="pyarrow",
     )
-    return auds.map_batches(images.AudioFeatures, batch_format="pyarrow",
-                            concurrency=2)
+    return _task_stage(auds, images.AudioFeatures, "q/audiofeat")
 
 
 SQL_AUDIO_FEATURES = """
@@ -1789,11 +1809,57 @@ WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.2
 
 
 def q_ivf_assign(sf_dir: str):
+    """IVF coarse assignment, ORACLED: training (5 Lloyd iterations on
+    the first-200 sample) stays non-SQL, but the trained centroids are
+    emitted into the oracle as a literal VALUES table and the argmin
+    assignment is verified row for row (the fixed-input technique the
+    image oracles use).  The SQL is generated from the driver's
+    correctness sf (sf0.01) with the IDENTICAL deterministic recipe, so
+    query and oracle share centroids exactly there."""
     emb = read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
     sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
     cents = embed.kmeans_centroids(sample, 8, iters=5)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embed.ivf_assign(ds, cents).select_columns(["vec_id", "ivf_bucket"])
+
+
+_IVF_ASSIGN_SQL_CACHE: list = []
+
+
+def _ivf_assign_sql(sf_dir: str = "/root/testdata/sf0.01"):
+    """VALUES-table oracle for q_ivf_assign (see its docstring)."""
+    if _IVF_ASSIGN_SQL_CACHE:
+        return _IVF_ASSIGN_SQL_CACHE[0]
+    import os
+
+    f = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(f):
+        _IVF_ASSIGN_SQL_CACHE.append(None)
+        return None
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f, columns=["embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
+    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    n_c, n_d = cents.shape
+    values = ",".join(
+        f"({cid},{dim + 1},{float(cents[cid, dim])!r})"
+        for cid in range(n_c) for dim in range(n_d)
+    )
+    sql = f"""
+WITH c(cid, dim, val) AS (VALUES {values}),
+e AS (SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, {n_d + 1})) AS u(i)),
+d AS (SELECT e.vec_id, c.cid,
+             SUM((e.val - c.val)*(e.val - c.val)) AS dist
+      FROM e JOIN c ON c.dim = e.dim GROUP BY 1, 2),
+a AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d)
+SELECT vec_id, CAST(cid AS BIGINT) AS ivf_bucket FROM a WHERE rn = 1
+"""
+    _IVF_ASSIGN_SQL_CACHE.append(sql)
+    return sql
 
 
 def q_ivf_search(sf_dir: str):
@@ -1890,11 +1956,10 @@ def registry():
         "image_tile_pipeline": (q_image_tile_pipeline, SQL_IMAGE_TILE),
         "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
         "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH),
-        # ivf_assign stays rows-only: the coarse quantizer is 5 Lloyd
-        # iterations of driver-side float k-means — iterative centroid
-        # updates are not SQL-expressible; correctness is pytest-proven
-        # (assignment == brute argmin vs the same centroids)
-        "ivf_assign": (q_ivf_assign, None),
+        # training is non-SQL (5 Lloyd iterations), but the trained
+        # centroids are inlined as a VALUES table and the assignment is
+        # verified row for row (q_ivf_assign docstring)
+        "ivf_assign": (q_ivf_assign, _ivf_assign_sql()),
         "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
         "search_fulltext": (q_search_fulltext, SQL_SEARCH_FULLTEXT),
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),

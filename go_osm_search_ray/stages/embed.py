@@ -236,8 +236,15 @@ def _dup_pairs_lsh(ds, threshold: float, id_col: str, n_planes: int,
         return (pd.concat(frames, ignore_index=True) if frames
                 else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}))
 
+    from .knn import cached_state
+
+    band_key = f"lshbands/{ref.hex()}/{bands}"
+
+    def band_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return cached_state(band_key, BandRows)(b)
+
     cand = bucketed_group_apply(
-        ds.map_batches(BandRows, batch_format="pandas", concurrency=(1, 4)),
+        ds.map_batches(band_fn, batch_format="pandas"),
         ["band", "bucket"], pairs_hash_bucket,
     )
     # same pair can surface from several bands -> bucketed distinct
@@ -267,7 +274,7 @@ def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
 
 def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
              nprobe: int = 2, id_col: str = "vec_id",
-             concurrency=2, batch_size: int = 4096):
+             concurrency=None, batch_size: int = 4096):
     """Approximate top-k via IVF probing: each query searches only the
     `nprobe` nearest centroid buckets.  If the corpus carries an
     `ivf_bucket` column (pre-partitioned via `ivf_assign`) it is used
@@ -343,8 +350,23 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
                              "cosine": pa.array(np.concatenate(out_s),
                                                 pa.float64())})
 
-    partials = ds.map_batches(Probe, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=concurrency)
+    if concurrency is None:
+        # task mode + per-process state cache: elastic over every CPU,
+        # no fixed-size pool to starve a 32-CPU box (a concurrency=2
+        # pin capped this stage at 2 workers)
+        from .knn import cached_state
+
+        key = f"ivfprobe/{ref_c.hex()}/{ref_q.hex()}/{k}/{id_col}"
+
+        def probe_fn(batch: pa.Table) -> pa.Table:
+            return cached_state(key, Probe)(batch)
+
+        partials = ds.map_batches(probe_fn, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    else:
+        partials = ds.map_batches(Probe, batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  concurrency=concurrency)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True],
@@ -356,8 +378,11 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
 
 
 def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id"):
-    """Add the nearest-centroid bucket column (the IVF partition key)."""
+    """Add the nearest-centroid bucket column (the IVF partition key).
+    Task mode + per-process centroid cache — elastic, no pinned pool."""
     import ray
+
+    from .knn import cached_state
 
     ref = ray.put(centroids)
 
@@ -372,4 +397,9 @@ def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id"):
                 "ivf_bucket", pa.array(d.argmin(1).astype(np.int64), pa.int64())
             )
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+    key = f"ivfassign/{ref.hex()}"
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        return cached_state(key, Assign)(batch)
+
+    return ds.map_batches(assign_fn, batch_format="pyarrow")

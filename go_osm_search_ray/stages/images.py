@@ -355,23 +355,43 @@ def with_payload_invariant(stage_fn, psnr_min: float = 40.0):
     return wrapped
 
 
-def decode_stats(images_ds, concurrency=(1, 4), batch_size: int = 1024):
-    return images_ds.map_batches(DecodeStats, batch_format="pyarrow",
-                                 batch_size=batch_size, concurrency=concurrency)
+# Stage wrappers run TASK MODE by default (concurrency=None): the
+# constructors are trivial (no broadcast side table), the per-process
+# cache keeps one compiled instance per worker, and a stateless task
+# pool is elastic over every CPU — an explicit (1, 4) pool throttled
+# these stages to 4 workers on a 32-CPU box.  Pass an explicit
+# concurrency to pin an actor pool (e.g. for a real model with a slow
+# load, sized (1, NUM_CPUS)).
 
 
-def resize(images_ds, w: int, h: int, concurrency=(1, 4), batch_size: int = 512):
+def _stage(images_ds, cls, batch_size, concurrency, key, **ctor):
+    if concurrency is None:
+        from .knn import cached_state
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return cached_state(key, lambda: cls(**ctor))(batch)
+
+        return images_ds.map_batches(fn, batch_format="pyarrow",
+                                     batch_size=batch_size)
     return images_ds.map_batches(
-        Resize, fn_constructor_kwargs={"w": w, "h": h},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        cls, fn_constructor_kwargs=ctor or None,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 
-def average_hash(images_ds, concurrency=(1, 4), batch_size: int = 1024):
-    return images_ds.map_batches(AverageHash, batch_format="pyarrow",
-                                 batch_size=batch_size, concurrency=concurrency)
+def decode_stats(images_ds, concurrency=None, batch_size: int = 1024):
+    return _stage(images_ds, DecodeStats, batch_size, concurrency, "img/stats")
 
 
-def embed_images(images_ds, concurrency=(1, 4), batch_size: int = 512):
-    return images_ds.map_batches(EmbedImage, batch_format="pyarrow",
-                                 batch_size=batch_size, concurrency=concurrency)
+def resize(images_ds, w: int, h: int, concurrency=None, batch_size: int = 512):
+    return _stage(images_ds, Resize, batch_size, concurrency,
+                  f"img/resize/{w}x{h}", w=w, h=h)
+
+
+def average_hash(images_ds, concurrency=None, batch_size: int = 1024):
+    return _stage(images_ds, AverageHash, batch_size, concurrency, "img/ahash")
+
+
+def embed_images(images_ds, concurrency=None, batch_size: int = 512):
+    return _stage(images_ds, EmbedImage, batch_size, concurrency, "img/embed")

@@ -36,15 +36,24 @@ TILE_BUDGET = 131072
 # pattern as stages/pip.py): a stateless task pool reuses worker
 # processes, so each process builds the broadcast state once — actor
 # semantics without the per-call pool-startup latency (~1-2 s per
-# query invocation on this host)
+# query invocation on this host).  A small LRU (not a single slot): a
+# pipeline that interleaves two task-mode broadcast stages in one
+# worker process (e.g. knn_join + reverse_geocode) must not rebuild
+# the state on every alternation.
 _STATE_CACHE: dict[str, object] = {}
+_STATE_CACHE_MAX = 4
 
 
 def cached_state(key: str, build):
     c = _STATE_CACHE.get(key)
     if c is None:
         c = build()
-        _STATE_CACHE.clear()  # hold at most one compiled state per process
+        while len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))  # evict oldest
+        _STATE_CACHE[key] = c
+    else:
+        # refresh recency (dict preserves insertion order)
+        _STATE_CACHE.pop(key)
         _STATE_CACHE[key] = c
     return c
 
@@ -407,14 +416,23 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
         # counts + the guarantee test before ranking)
         return partials
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[point_id_col])
-        g = g.sort_values(["dist_km", point_id_col], kind="mergesort").head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # query_id is UNBOUNDED (this is the "millions of queries" path),
+    # so the merge of per-cell partials is a bucket-hash shuffle + ONE
+    # vectorized dedup/sort/cumcount per bucket — never a
+    # groupby(query_id) sort with per-query dispatch (the top_k_multi
+    # pattern, stages/text.py)
+    from .agg import bucketed_group_apply
 
-    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["query_id", point_id_col])
+        g = g.sort_values(["query_id", "dist_km", point_id_col],
+                          kind="mergesort")
+        rn = g.groupby("query_id", sort=False).cumcount().to_numpy()
+        out = g[rn < k].copy()
+        out["rank"] = (rn[rn < k] + 1).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(partials, ["query_id"], finalize_bucket)
 
 
 def _ring_guarantee_km(lat: np.ndarray, res: int, r: int) -> np.ndarray:
@@ -450,8 +468,16 @@ def knn_cell_join_unbounded(points_ds, queries_ds, k: int, res: int = 6,
     Per round the shuffle moves only pending queries x ring cells +
     their candidate partials; pending sets are materialized between
     rounds (bounded by query count) so earlier rounds don't re-execute.
+    The next pending set is previous pending MINUS queries marked
+    final (hash anti-join on query_id) — a query whose current ring
+    holds no points emits no candidate rows, and deriving pending from
+    the round output would silently drop it; the anti-join keeps it
+    pending and expanding, preserving the exact unbounded-kNN contract
+    (rtree.go:685-723 always returns the k nearest).
     Returns (query_id, rank, point_id, dist_km), exact.
     """
+    from .agg import bucketed_group_apply, join_safe
+
     n_axis = 1 << res
     results = []
     pending = queries_ds.materialize()
@@ -479,38 +505,48 @@ def knn_cell_join_unbounded(points_ds, queries_ds, k: int, res: int = 6,
             points_keyed=True,
         )
 
-        def split(g: pd.DataFrame, _r=r, _full=full_grid) -> pd.DataFrame:
-            g = g.drop_duplicates(subset=[point_id_col])
-            g = g.sort_values(["dist_km", point_id_col], kind="mergesort")
-            top = g.head(k).copy()
-            dk = top["dist_km"].iloc[-1] if len(top) else np.inf
-            guar = _ring_guarantee_km(
-                np.array([g["q_lat"].iloc[0]]), res, _r
-            )[0]
-            done = bool(_full or (len(top) >= k and dk <= guar))
-            top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
-            top["final"] = done
+        def split_bucket(g: pd.DataFrame, _r=r, _full=full_grid) -> pd.DataFrame:
+            # ALL queries of this hash bucket at once: vectorized
+            # dedup + sort + cumcount top-k, per-query kth-distance /
+            # count via transform — no per-query dispatch
+            g = g.drop_duplicates(subset=["query_id", point_id_col])
+            g = g.sort_values(["query_id", "dist_km", point_id_col],
+                              kind="mergesort")
+            rn = g.groupby("query_id", sort=False).cumcount().to_numpy()
+            top = g[rn < k].copy()
+            grp = top.groupby("query_id", sort=False)["dist_km"]
+            cnt = grp.transform("size").to_numpy()
+            dk = grp.transform("max").to_numpy()
+            guar = _ring_guarantee_km(top["q_lat"].to_numpy(), res, _r)
+            top["rank"] = (rn[rn < k] + 1).astype(np.int64)
+            top["final"] = _full | ((cnt >= k) & (dk <= guar))
             return top
 
-        round_out = joined.groupby("query_id").map_groups(
-            split, batch_format="pandas"
+        round_out = bucketed_group_apply(
+            joined, ["query_id"], split_bucket
         ).materialize()
         done_part = round_out.map_batches(
             lambda b: b[b["final"]].drop(columns=["final", "q_lat", "q_lon"]),
             batch_format="pandas",
         )
         results.append(done_part)
-        still = round_out.map_batches(
-            lambda b: b[~b["final"]], batch_format="pandas"
-        )
-        if still.count() == 0:
+        if full_grid:
+            # every query just saw the whole grid; anything still
+            # candidate-less has no answer at all
             break
-        pending = still.groupby("query_id").map_groups(
-            lambda g: g.head(1)[["query_id", "q_lat", "q_lon"]].rename(
-                columns={"q_lat": "lat", "q_lon": "lon"}
-            ),
+        final_ids = round_out.map_batches(
+            lambda b: b.loc[b["final"], ["query_id"]].drop_duplicates(),
             batch_format="pandas",
         ).materialize()
+        if final_ids.count() > 0:
+            # an all-empty round leaves final_ids schema-less, which the
+            # Acero join rejects — and with nothing final, pending is
+            # unchanged anyway (empty-ring queries keep expanding)
+            pending = join_safe(pending).join(
+                join_safe(final_ids), "left_anti", 16, on=("query_id",)
+            ).materialize()
+            if pending.count() == 0:
+                break
         r *= 4
     out = results[0]
     for extra in results[1:]:

@@ -577,9 +577,12 @@ def winnow_fingerprints(ds, id_col="doc_id", text_col="text",
                         k_shingle: int = 3, window: int = 4):
     """Document fingerprinting by rolling-hash WINNOWING (the MOSS
     scheme, Schleimer et al. 2003): hash every k-token shingle, slide a
-    window of `window` consecutive shingle hashes, select positions
-    whose hash equals the window minimum, emit the DISTINCT selected
-    hashes per doc.  Near-identical documents share most fingerprints;
+    window of `window` consecutive shingle hashes, select the RIGHTMOST
+    minimum of EVERY window, emit the DISTINCT selected hashes per doc.
+    Selecting per-window (not only positions that end a window) keeps
+    winnowing's guarantee: any match of length >= window + k - 1 shares
+    at least one fingerprint, and every doc with >= 1 shingle emits
+    >= 1 fingerprint.  Near-identical documents share most fingerprints;
     the output is a (doc_id, fingerprint) pair table ready for the same
     keyed-shuffle machinery as postings.
 
@@ -608,12 +611,13 @@ def winnow_fingerprints(ds, id_col="doc_id", text_col="text",
             if len(h) <= window:
                 sel = np.unique(h)
             else:
-                # sliding window-min via stride tricks; select p where
-                # h[p] == min(h[p-window+1 .. p])
+                # rightmost minimum of every window via stride tricks:
+                # argmin over the REVERSED window picks the rightmost
+                # position on value ties
                 sw = np.lib.stride_tricks.sliding_window_view(h, window)
-                wmin = sw.min(axis=1)
-                pos = np.arange(window - 1, len(h))
-                sel = np.unique(h[pos][h[pos] == wmin])
+                arg = sw[:, ::-1].argmin(axis=1)
+                pos = np.arange(sw.shape[0]) + (window - 1 - arg)
+                sel = np.unique(h[pos])
             ids.extend([batch[id_col].iloc[i]] * len(sel))
             fps.extend(sel.tolist())
         return pd.DataFrame({id_col: ids,

@@ -451,6 +451,46 @@ class TestKNNCellUnbounded:
         got["point_id"] = got["point_id"].astype(np.int64)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+    def test_empty_ring_query_still_answered(self):
+        """A query whose early rings contain NO points must stay
+        pending (anti-join on final ids) and still return exactly k
+        results — the silent-drop regression: the corpus clusters in
+        one corner, the query sits at the antipode."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(54)
+        n = 500
+        points = pa.table({
+            "point_id": pa.array(np.arange(n), pa.int64()),
+            "lat": pa.array(rng.uniform(40.0, 41.0, n)),
+            "lon": pa.array(rng.uniform(-74.0, -73.0, n)),
+        })
+        queries = pa.table({
+            "query_id": pa.array([7], pa.int64()),
+            "lat": pa.array([-40.0]),
+            "lon": pa.array([106.0]),
+            "k": pa.array([3], pa.int64()),
+        })
+        got = (
+            knn.knn_cell_join_unbounded(
+                rd.from_arrow(points).repartition(4),
+                rd.from_arrow(queries),
+                k=3, res=5,
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            brute_knn(points, queries),
+            columns=["query_id", "rank", "point_id", "dist_km"],
+        )
+        got = got[["query_id", "rank", "point_id", "dist_km"]]
+        got["query_id"] = got["query_id"].astype(np.int64)
+        got["point_id"] = got["point_id"].astype(np.int64)
+        assert len(got) == 3
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestFenceIndex:
