@@ -781,6 +781,64 @@ WHERE doc_id NOT IN (SELECT node FROM roots WHERE root < node)
 """
 
 
+def q_cc_labels(sf_dir: str):
+    """Distributed connected components DIRECTLY oracled: min-label
+    propagation over the exact-Jaccard pair graph vs a recursive-CTE
+    transitive closure computing each node's component-minimum id."""
+    pairs = dedup.jaccard_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.2,
+    )
+    out = dedup.cc_labels(pairs)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["node"] = b["node"].astype(np.int64)
+        b["label"] = b["label"].astype(np.int64)
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_CC_LABELS = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS shingle
+       FROM toks, unnest(range(1, GREATEST(len(t)-1, 2))) AS u(i)
+       WHERE len(t) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+near AS (SELECT p.id_a, p.id_b
+         FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+                      JOIN sizes sb ON sb.doc_id = p.id_b
+         WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.2),
+edges AS (SELECT id_a AS a, id_b AS b FROM near
+          UNION ALL SELECT id_b, id_a FROM near),
+walk(node, reach) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT node, CAST(MIN(reach) AS BIGINT) AS label FROM walk GROUP BY node
+"""
+
+
+def q_near_dedup_minhash(sf_dir: str):
+    """near_dedup_keep through the MINHASH pair path end to end
+    (signatures -> banding -> keyed exact verify -> distributed CC ->
+    anti-join).  Shares the exact-Jaccard transitive-closure oracle:
+    the exact verify guarantees precision 1 and LSH recall is
+    empirically 1 on this corpus at these parameters, so the kept sets
+    coincide — a recall regression hash-mismatches."""
+    return dedup.near_dedup_keep(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.2, method="minhash",
+    )
+
+
 def q_fingerprints(sf_dir: str):
     """Rolling-hash winnowing fingerprints (MOSS scheme) — distinct
     selected hashes per doc, SQL-mirrored digit by digit."""
@@ -1929,6 +1987,8 @@ def registry():
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "shingle_common": (_shingle_common_impl, SQL_SHINGLE_COMMON),
         "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
+        "near_dedup_minhash": (q_near_dedup_minhash, SQL_NEAR_DEDUP_KEEP),
+        "cc_labels": (q_cc_labels, SQL_CC_LABELS),
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
         # embeddings
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
