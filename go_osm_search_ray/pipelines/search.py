@@ -63,8 +63,16 @@ def full_text_search(docs_ds_factory, queries: pd.DataFrame,
         return pd.DataFrame(
             columns=["query_id", "corrected", "rank", "doc_id", "score"]
         )
-    scored = text_stage.score_multi(docs_ds_factory(), corrected_terms,
-                                    scoring=scoring)
+    from ..stage import get_custom_scorer, resolve_scoring
+
+    custom = get_custom_scorer(resolve_scoring(scoring))
+    if custom is not None:
+        # §2.11 plug point: a user-registered scorer replaces the
+        # built-in scoring scan (contract in stage.get_custom_scorer)
+        scored = custom(docs_ds_factory(), corrected_terms)
+    else:
+        scored = text_stage.score_multi(docs_ds_factory(), corrected_terms,
+                                        scoring=scoring)
     page = text_stage.top_k_multi(scored, k_by_query)
     page["corrected"] = page["query_id"].map(corrected_str)
     page = page[["query_id", "corrected", "rank", "doc_id", "score"]]
