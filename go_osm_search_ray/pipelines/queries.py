@@ -223,6 +223,73 @@ FROM orders GROUP BY 1
 """
 
 
+def q_rasterize(sf_dir: str):
+    """VECTOR -> RASTER: nation rectangles burned into the res-6 tile
+    grid (one row per covered cell, center-in-rect inclusive), oracled
+    by a BETWEEN join against every enumerated cell center."""
+    import ray.data as rd
+
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    keys = np.sort(np.asarray(nat["n_nationkey"].to_pylist(), dtype=np.int64))
+    rects = rd.from_pandas(pd.DataFrame({
+        "polygon_id": keys,
+        "lat0": (keys % 5) * 36.0 - 90.0,
+        "lat1": (keys % 5) * 36.0 - 52.0,
+        "lon0": (keys // 5) * 72.0 - 180.0,
+        "lon1": (keys // 5) * 72.0 - 106.0,
+    }))
+    return tiling.rasterize_rects(rects, res=6)
+
+
+def _sql_rasterize(res: int = 6) -> str:
+    n = 1 << res
+    return f"""
+WITH r AS ({SQL_NATION_RECTS}),
+cells AS (SELECT y.y*{n} + x.x AS tile_id,
+                 -90.0 + (y.y + 0.5)*(180.0/{n}) AS clat,
+                 -180.0 + (x.x + 0.5)*(360.0/{n}) AS clon
+          FROM range(0, {n}) y(y), range(0, {n}) x(x))
+SELECT r.polygon_id, c.tile_id
+FROM r JOIN cells c
+  ON c.clat BETWEEN r.lat0 AND r.lat1 AND c.clon BETWEEN r.lon0 AND r.lon1
+"""
+
+
+SQL_RASTERIZE = _sql_rasterize()
+
+
+def q_vectorize(sf_dir: str):
+    """RASTER -> VECTOR: per-cell order-point counts thresholded and
+    emitted as cell rectangle geometries (occupied-region extraction at
+    cell granularity)."""
+    pts = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        tiling.derive_key_latlon("o_orderkey"), batch_format="pyarrow"
+    )
+    out = tiling.vectorize_tiles(pts, res=6, min_count=3)
+    return out.map_batches(
+        lambda b: _round6(b, ["lat0", "lat1", "lon0", "lon1"]),
+        batch_format="pandas",
+    )
+
+
+def _sql_vectorize(res: int = 6, min_count: int = 3) -> str:
+    n = 1 << res
+    lat, lon = sql_lat("o_orderkey"), sql_lon("o_orderkey")
+    return f"""
+WITH c AS (SELECT {sql_tile(lat, lon, res)} AS tile_id, COUNT(*) AS n
+           FROM orders GROUP BY 1 HAVING COUNT(*) >= {min_count})
+SELECT tile_id, n,
+       round(-90.0 + (tile_id // {n})*(180.0/{n}), 6) AS lat0,
+       round(-90.0 + (tile_id // {n} + 1)*(180.0/{n}), 6) AS lat1,
+       round(-180.0 + (tile_id % {n})*(360.0/{n}), 6) AS lon0,
+       round(-180.0 + (tile_id % {n} + 1)*(360.0/{n}), 6) AS lon1
+FROM c
+"""
+
+
+SQL_VECTORIZE = _sql_vectorize()
+
+
 def q_pip_join(sf_dir: str):
     joined = pip.pip_join(
         orders_points(sf_dir), nation_rects(sf_dir), tile_res=TILE_RES,
@@ -1966,6 +2033,8 @@ def registry():
         "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
         "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
         "pip_join": (q_pip_join, SQL_PIP_JOIN),
+        "rasterize": (q_rasterize, SQL_RASTERIZE),
+        "vectorize": (q_vectorize, SQL_VECTORIZE),
         "knn_join": (q_knn_join, SQL_KNN_JOIN),
         "knn_radius_filter": (q_knn_radius_filter, SQL_KNN_RADIUS),
         "reverse_geocode": (q_reverse_geocode, SQL_REVERSE_GEOCODE),

@@ -118,3 +118,99 @@ def salted_tile_counts(ds, key_col: str = "tile_id", combine="driver"):
                              "n": vc.to_numpy().astype(np.int64)})
 
     return two_phase_agg(ds, partial, [key_col], ["n"], combine=combine)
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector (north-rule capability; engine-canonical at cell
+# granularity — the reference has no raster layer, its R-tree plays the
+# grid's role, rtree.go:168-205)
+
+
+def rasterize_rects(rects_ds, res: int = geo.DEFAULT_TILE_RES):
+    """VECTOR -> RASTER: burn rectangle geometries into the tile grid.
+
+    Input rows (polygon_id, lat0, lat1, lon0, lon1); output one
+    (polygon_id, tile_id) row per grid cell whose CENTER falls inside
+    the rectangle (inclusive bounds — the same predicate as the PIP
+    oracle, so the SQL mirror is a BETWEEN join against enumerated cell
+    centers).  Vectorized per polygon: the covering index ranges come
+    from the bounds, then the exact center-in-rect test prunes the
+    boundary row/column, so Python never loops over cells.
+
+    Scale shape: output rows ~ covered-cell count; a polygon spanning
+    many cells emits from its own input row's task — embarrassingly
+    parallel, no shuffle.
+    """
+    import pandas as pd
+
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+
+    def burn(b: pd.DataFrame) -> pd.DataFrame:
+        out_pid, out_tile = [], []
+        for row in b.itertuples():  # polygons per batch are few; cells vectorized
+            y_lo = max(int(np.floor((row.lat0 + 90.0) / dlat)) - 1, 0)
+            y_hi = min(int(np.ceil((row.lat1 + 90.0) / dlat)) + 1, n)
+            x_lo = max(int(np.floor((row.lon0 + 180.0) / dlon)) - 1, 0)
+            x_hi = min(int(np.ceil((row.lon1 + 180.0) / dlon)) + 1, n)
+            ys = np.arange(y_lo, y_hi, dtype=np.int64)
+            xs = np.arange(x_lo, x_hi, dtype=np.int64)
+            cy = -90.0 + (ys + 0.5) * dlat
+            cx = -180.0 + (xs + 0.5) * dlon
+            ys = ys[(cy >= row.lat0) & (cy <= row.lat1)]
+            xs = xs[(cx >= row.lon0) & (cx <= row.lon1)]
+            if not len(ys) or not len(xs):
+                continue
+            tiles = (ys[:, None] * n + xs[None, :]).ravel()
+            out_tile.append(tiles)
+            out_pid.append(np.full(len(tiles), row.polygon_id, dtype=np.int64))
+        if not out_pid:
+            return pd.DataFrame({
+                "polygon_id": pd.Series([], dtype=np.int64),
+                "tile_id": pd.Series([], dtype=np.int64),
+            })
+        return pd.DataFrame({
+            "polygon_id": np.concatenate(out_pid),
+            "tile_id": np.concatenate(out_tile),
+        })
+
+    return rects_ds.map_batches(burn, batch_format="pandas")
+
+
+def vectorize_tiles(points_ds, res: int = geo.DEFAULT_TILE_RES,
+                    min_count: int = 1, lat_col="lat", lon_col="lon",
+                    combine: str = "driver"):
+    """RASTER -> VECTOR: per-cell point counts (the raster), thresholded
+    and emitted as cell rectangle geometries (tile_id, n, lat0, lat1,
+    lon0, lon1) — occupied-region extraction at cell granularity.
+
+    Counts are the skew-safe two-phase combine (`salted_tile_counts`
+    pattern); the geometry derivation is pure per-row math.  The key
+    space is the grid (4^res) — driver combine by default, pass
+    combine="shuffle" for res >= ~12.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+
+    keyed = points_ds.map_batches(
+        assign_tiles(res, lat_col, lon_col), batch_format="pyarrow"
+    )
+    counts = salted_tile_counts(keyed, combine=combine)
+    if isinstance(counts, pd.DataFrame):
+        counts = rd.from_pandas(counts)
+
+    def geom(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n"] >= min_count].copy()
+        t = b["tile_id"].to_numpy(np.int64)
+        x, y = t % n, t // n
+        b["lat0"] = -90.0 + y * dlat
+        b["lat1"] = -90.0 + (y + 1) * dlat
+        b["lon0"] = -180.0 + x * dlon
+        b["lon1"] = -180.0 + (x + 1) * dlon
+        return b[["tile_id", "n", "lat0", "lat1", "lon0", "lon1"]]
+
+    return counts.map_batches(geom, batch_format="pandas")

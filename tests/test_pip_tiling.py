@@ -230,3 +230,39 @@ class TestSkewHandling:
             .set_index("term")["df"]
         )
         assert drv.to_dict() == shf.to_dict()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRasterVector:
+    def test_rasterize_rect_center_semantics(self):
+        import pandas as pd
+        import ray.data as rd
+
+        # res 4 -> 16x16 grid, dlat=11.25, dlon=22.5; rect covering
+        # exactly the cell centers of rows 8..9, cols 8..9
+        rects = pd.DataFrame({
+            "polygon_id": [1],
+            "lat0": [0.0], "lat1": [22.5],      # centers 5.625, 16.875
+            "lon0": [0.0], "lon1": [45.0],      # centers 11.25, 33.75
+        })
+        out = tiling.rasterize_rects(rd.from_pandas(rects), res=4).to_pandas()
+        got = set(out["tile_id"])
+        want = {y * 16 + x for y in (8, 9) for x in (8, 9)}
+        assert got == want
+
+    def test_vectorize_threshold_and_geometry(self):
+        import pandas as pd
+        import ray.data as rd
+
+        # 5 points in one cell, 1 in another: threshold 3 keeps one cell
+        pts = pd.DataFrame({
+            "lat": [1.0] * 5 + [50.0],
+            "lon": [1.0] * 5 + [50.0],
+        })
+        out = tiling.vectorize_tiles(rd.from_pandas(pts), res=4,
+                                     min_count=3).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["n"] == 5
+        assert row["lat0"] <= 1.0 <= row["lat1"]
+        assert row["lon0"] <= 1.0 <= row["lon1"]
