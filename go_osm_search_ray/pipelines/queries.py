@@ -290,6 +290,45 @@ FROM c
 SQL_VECTORIZE = _sql_vectorize()
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Hierarchical tile pyramid: per-cell counts at res 6 coarsened to
+    the res-4 parent level by dropping 2 bits per axis (geo.tile_parent)
+    and re-combining — the raster-pyramid aggregation every tiling
+    engine needs; at scale each level is one cheap bounded combine over
+    the previous level's (already collapsed) cells."""
+    import ray.data as rd
+
+    pts = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        tiling.derive_key_latlon("o_orderkey"), batch_format="pyarrow"
+    ).map_batches(tiling.assign_tiles(6), batch_format="pyarrow")
+    fine = tiling.salted_tile_counts(pts)  # driver combine: 4^6 cells max
+
+    fine["parent_id"] = geo.tile_parent(
+        fine["tile_id"].to_numpy(np.int64), 6, 4
+    )
+    out = (
+        fine.groupby("parent_id", as_index=False)["n"].sum()
+        .rename(columns={"parent_id": "tile_id"})
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def _sql_tile_pyramid() -> str:
+    lat, lon = sql_lat("o_orderkey"), sql_lon("o_orderkey")
+    # parent math mirrored: x,y at res 6, >>2 each, recombined at res 4
+    fine = sql_tile(lat, lon, 6)
+    return f"""
+WITH f AS (SELECT {fine} AS t, COUNT(*) AS n FROM orders GROUP BY 1)
+SELECT ((t // 64) // 4) * 16 + ((t % 64) // 4) AS tile_id,
+       CAST(SUM(n) AS BIGINT) AS n
+FROM f GROUP BY 1
+"""
+
+
+SQL_TILE_PYRAMID = _sql_tile_pyramid()
+
+
 def q_pip_join(sf_dir: str):
     joined = pip.pip_join(
         orders_points(sf_dir), nation_rects(sf_dir), tile_res=TILE_RES,
@@ -2034,6 +2073,7 @@ def registry():
         "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
         "pip_join": (q_pip_join, SQL_PIP_JOIN),
         "rasterize": (q_rasterize, SQL_RASTERIZE),
+        "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
         "vectorize": (q_vectorize, SQL_VECTORIZE),
         "knn_join": (q_knn_join, SQL_KNN_JOIN),
         "knn_radius_filter": (q_knn_radius_filter, SQL_KNN_RADIUS),
