@@ -1282,6 +1282,43 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_events_asof(sf_dir: str):
+    """Backward AS-OF join on the event log: each purchase matched to
+    the user's latest prior click (bucket-hash on user_id + one
+    vectorized merge_asof per bucket), vs DuckDB's native ASOF JOIN.
+    Lag emitted as integer microseconds (hash-exact)."""
+    from ..stages.agg import asof_join_tagged
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    out = asof_join_tagged(ds, key="user_id", ts_col="ts",
+                           side_col="event_type", left_val="purchase",
+                           right_val="click", right_cols=["event_id", "ts"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"event_id_r": "click_event_id",
+                              "ts_r": "click_ts"})
+        lag = (b["ts"].to_numpy("datetime64[us]")
+               - b["click_ts"].to_numpy("datetime64[us]"))
+        b["lag_us"] = lag.astype("timedelta64[us]").astype(np.int64)
+        b["click_event_id"] = b["click_event_id"].astype(np.int64)
+        return b[["event_id", "user_id", "ts", "click_event_id",
+                  "click_ts", "lag_us"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_event_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, c.click_event_id, c.click_ts,
+       CAST(date_diff('microsecond', c.click_ts, p.ts) AS BIGINT) AS lag_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
 def q_event_type_users(sf_dir: str):
     """COUNT DISTINCT, fully distributed: per-batch distinct pairs ->
     bucket-hash shuffle on the pair key (a cheap 64-group sort; every
@@ -2110,6 +2147,7 @@ def registry():
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+        "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),
         "event_type_users": (q_event_type_users, SQL_EVENT_TYPE_USERS),
         # approximate by construction -> rows-only (reason in docstring)

@@ -102,3 +102,60 @@ def bucketed_group_apply(ds, keys, bucket_fn, n_buckets: int = 64):
         .groupby("_bucket")
         .map_groups(run, batch_format="pandas")
     )
+
+
+def asof_join_tagged(ds, key, ts_col, side_col, left_val, right_val,
+                     right_cols, n_buckets: int = 64, rsuffix: str = "_r"):
+    """Keyed backward AS-OF join over ONE tagged stream: each left-side
+    row (side_col == left_val) is matched to the right-side row
+    (side_col == right_val) with the greatest ts_col <= its own, per
+    key.  Inner semantics: left rows with no predecessor drop.
+
+    Operating on one tagged stream (type column over a shared log — the
+    events-table shape) sidesteps two-dataset schema alignment and is
+    how temporal logs arrive at scale anyway.
+
+    Scale shape: keys are UNBOUNDED, so this is a bucket-hash shuffle
+    (hash(key) % n_buckets) + ONE vectorized `pd.merge_asof(by=key)`
+    per bucket over all its keys — no per-key task, no global sort.
+    Matched right columns are emitted with `rsuffix`.
+    """
+    import numpy as np
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[side_col].isin([left_val, right_val])]
+        h = pd.util.hash_pandas_object(b[key], index=False)
+        return b.assign(_bucket=h.to_numpy() % n_buckets)
+
+    out_r = [f"{c}{rsuffix}" for c in right_cols]
+
+    payload = [c for c in right_cols if c != ts_col]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        l = g[g[side_col] == left_val].drop(columns=[side_col])
+        r = g[g[side_col] == right_val][[key, ts_col, *payload]]
+        r = r.rename(columns={c: f"{c}{rsuffix}" for c in payload})
+        if ts_col in right_cols:
+            # the on-column survives from the LEFT side only; carry the
+            # matched right timestamp as an explicit suffixed copy
+            r[f"{ts_col}{rsuffix}"] = r[ts_col]
+        if len(l) == 0 or len(r) == 0:
+            return l.head(0).assign(
+                **{c: pd.Series([], dtype=r.dtypes.get(c, "object"))
+                   for c in out_r}
+            )
+        m = pd.merge_asof(
+            l.sort_values(ts_col, kind="mergesort"),
+            r.sort_values(ts_col, kind="mergesort"),
+            on=ts_col, by=key, direction="backward",
+            suffixes=("", rsuffix),
+        )
+        # inner semantics: drop lefts with no predecessor
+        return m[m[out_r[0]].notna()]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )

@@ -561,3 +561,35 @@ class TestFenceIndex:
         )
         out = fi2.search("fleet", rd.from_arrow(ev2), nearest_n=None)
         assert set(out[out.fence_key == "hq"]["status"]) == {"INSIDE"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_backward_match_per_key(self):
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.agg import asof_join_tagged
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id":  [7, 7, 7, 8, 8, 9],
+            "ts": pd.to_datetime([
+                "2024-01-01 00:00", "2024-01-01 01:00",  # u7 clicks
+                "2024-01-01 02:00",                        # u7 purchase
+                "2024-01-01 05:00",                        # u8 purchase (no click)
+                "2024-01-01 04:00",                        # u8 click AFTER -> no match
+                "2024-01-01 03:00",                        # u9 click, no purchase
+            ]),
+            "event_type": ["click", "click", "purchase", "purchase",
+                           "click", "click"],
+        })
+        # u8's click (04:00) is BEFORE its purchase (05:00) -> matches
+        out = asof_join_tagged(
+            rd.from_pandas(df).repartition(3), key="user_id", ts_col="ts",
+            side_col="event_type", left_val="purchase", right_val="click",
+            right_cols=["event_id", "ts"],
+        ).to_pandas().sort_values("event_id")
+        by_user = {r.user_id: r for r in out.itertuples()}
+        assert by_user[7].event_id_r == 2   # latest prior click wins
+        assert by_user[8].event_id_r == 5
+        assert 9 not in by_user             # click-only user emits nothing
