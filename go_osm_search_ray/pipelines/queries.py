@@ -1282,6 +1282,83 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_sample_hash(sf_dir: str):
+    """Deterministic hash sampling (the reproducible train/eval split a
+    training pipeline needs): keep rows where a Knuth multiplicative
+    hash of the key lands under the rate cutoff — identical expression
+    in SQL, stable across runs/processes, no RNG state."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        h = (k * 2654435761) % 1000
+        return b[h < 100][["o_orderkey"]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+SQL_SAMPLE_HASH = """
+SELECT o_orderkey FROM orders
+WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 1000 < 100
+"""
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """EXACT distributed quantiles per group via mergeable integer
+    histograms: per-batch (group, value-in-cents) partial counts ->
+    bucket-hash combine -> per-group cumulative cut at
+    ceil(q*n) (percentile_disc semantics).  Exact because the value
+    domain is integer cents — the histogram IS the sorted multiset;
+    shuffle volume is O(distinct (group, cent) pairs), never the rows.
+    The same shape with fixed-width bins is the approximate-quantile
+    path for unbounded domains."""
+    from ..stages.agg import two_phase_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": b["event_type"], "value_c": c})
+            .groupby(["event_type", "value_c"], sort=False)
+            .size().reset_index(name="n")
+        )
+
+    hist = two_phase_agg(ds, partial, ["event_type", "value_c"], ["n"],
+                         combine="shuffle").to_pandas()
+    # finalize: histogram is O(groups x distinct cents) — driver-sized
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("value_c", kind="mergesort")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        for q in (0.25, 0.5, 0.9):
+            target = int(np.ceil(q * total))
+            v = int(g["value_c"].to_numpy()[np.searchsorted(cum, target)])
+            rows.append((et, q, v, total))
+    out = pd.DataFrame(rows, columns=["event_type", "q", "value_c", "n_rows"])
+    out["value_c"] = out["value_c"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out
+
+
+SQL_GROUPED_QUANTILES = """
+WITH v AS (SELECT event_type,
+                  CAST(round(value*100) AS BIGINT) AS value_c
+           FROM events),
+a AS (SELECT event_type, COUNT(*) AS n_rows,
+             quantile_disc(value_c, 0.25) AS q25,
+             quantile_disc(value_c, 0.50) AS q50,
+             quantile_disc(value_c, 0.90) AS q90
+      FROM v GROUP BY 1)
+SELECT event_type, 0.25 AS q, CAST(q25 AS BIGINT) AS value_c, n_rows FROM a
+UNION ALL
+SELECT event_type, 0.50 AS q, CAST(q50 AS BIGINT) AS value_c, n_rows FROM a
+UNION ALL
+SELECT event_type, 0.90 AS q, CAST(q90 AS BIGINT) AS value_c, n_rows FROM a
+"""
+
+
 def q_events_asof(sf_dir: str):
     """Backward AS-OF join on the event log: each purchase matched to
     the user's latest prior click (bucket-hash on user_id + one
@@ -2148,6 +2225,8 @@ def registry():
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+        "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+        "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),
         "event_type_users": (q_event_type_users, SQL_EVENT_TYPE_USERS),
         # approximate by construction -> rows-only (reason in docstring)
