@@ -96,13 +96,25 @@ def cosine_topk(ds, queries: dict | pa.Table, k: int, id_col: str = "vec_id",
     partials = ds.map_batches(fn, batch_format="pyarrow",
                               batch_size=batch_size)
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    return _finalize_topk(partials, k, id_col)
 
-    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+def _finalize_topk(partials, k: int, id_col: str):
+    """Merge per-block partial top-k rows into exact per-query pages:
+    bucket-hash on query_id + one vectorized sort/cumcount per bucket
+    (queries here are a broadcast side, but the bucketed shape keeps
+    the merge safe at any query count)."""
+    from .agg import bucketed_group_apply
+
+    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "cosine", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        rn = g.groupby("query_id", sort=False).cumcount().to_numpy()
+        out = g[rn < k].copy()
+        out["rank"] = (rn[rn < k] + 1).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(partials, ["query_id"], finalize_bucket)
 
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
@@ -368,13 +380,7 @@ def ivf_topk(ds, centroids: np.ndarray, queries: dict, k: int,
                                   batch_size=batch_size,
                                   concurrency=concurrency)
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return _finalize_topk(partials, k, id_col)
 
 
 def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id"):
