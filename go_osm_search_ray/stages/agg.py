@@ -64,6 +64,21 @@ def two_phase_agg(ds, partial_fn, keys, sums, combine: str = "shuffle",
     return out
 
 
+def default_join_partitions() -> int:
+    """Hash-join partition count proportional to the cluster: each
+    partition becomes an aggregator actor, so over-partitioning a
+    small cluster pays pure actor-pool startup (measured ~6 s of a
+    16 s pipeline at 8 CPUs), while under-partitioning a big one
+    caps join parallelism and per-partition memory."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, cpus // 2)
+
+
 def join_safe(ds, n_blocks: int = 16):
     """Prepare a bounded dataset to feed a hash `Dataset.join`:
     map_groups pipelines (bucketed_group_apply included) can emit a

@@ -158,7 +158,7 @@ class MinHasher:
 
 def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
                       num_perm: int = 128, bands: int = 16, threshold: float = 0.5,
-                      output: str = "jaccard", num_partitions: int = 16):
+                      output: str = "jaccard", num_partitions: int | None = None):
     """Near-dup pairs: shingle -> minhash -> banded buckets -> candidate
     pairs (signature-estimated Jaccard prefilter) -> exact-Jaccard
     verify of the SURVIVING candidates only.  Returns a Dataset with
@@ -189,6 +189,10 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     """
     import ray.data as rd
 
+    from .agg import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm)
 
@@ -338,7 +342,7 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     return jb.map_batches(verify, batch_format="pandas")
 
 
-def cc_labels(pairs_ds, num_partitions: int = 16, max_iters: int = 25):
+def cc_labels(pairs_ds, num_partitions: int | None = None, max_iters: int = 25):
     """Distributed connected components over an edge Dataset
     (id_a, id_b) by iterated min-label propagation: every node starts
     at label = min(node, neighbors); each round a node's label becomes
@@ -354,7 +358,10 @@ def cc_labels(pairs_ds, num_partitions: int = 16, max_iters: int = 25):
     so web-corpus dup rates (pairs ~ O(corpus)) spill, not OOM.
     Reference analogue: the dedup resolution loop indexer.go:582-618.
     """
-    from .agg import bucketed_group_apply
+    from .agg import bucketed_group_apply, default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
 
     def sym(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -403,7 +410,7 @@ def cc_labels(pairs_ds, num_partitions: int = 16, max_iters: int = 25):
 def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
                     threshold: float = 0.2, max_df: int | None = None,
                     method: str = "exact", cc: str = "distributed",
-                    num_partitions: int = 16):
+                    num_partitions: int | None = None):
     """Training-data near-dedup END TO END: pair generation (exact
     shingle-Jaccard, or MinHash+LSH via method="minhash") -> connected
     components -> keep the MIN-ID representative per component.
@@ -425,8 +432,10 @@ def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
                                  threshold=threshold, max_df=max_df)
 
     if cc == "distributed":
-        from .agg import join_safe
+        from .agg import default_join_partitions, join_safe
 
+        if num_partitions is None:
+            num_partitions = default_join_partitions()
         pairs_ds = join_safe(pairs_ds, num_partitions).materialize()
         if pairs_ds.count() == 0:
             return ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")

@@ -476,8 +476,9 @@ def knn_cell_join_unbounded(points_ds, queries_ds, k: int, res: int = 6,
     (rtree.go:685-723 always returns the k nearest).
     Returns (query_id, rank, point_id, dist_km), exact.
     """
-    from .agg import bucketed_group_apply, join_safe
+    from .agg import bucketed_group_apply, default_join_partitions, join_safe
 
+    n_part = default_join_partitions()
     n_axis = 1 << res
     results = []
     pending = queries_ds.materialize()
@@ -543,7 +544,7 @@ def knn_cell_join_unbounded(points_ds, queries_ds, k: int, res: int = 6,
             # Acero join rejects — and with nothing final, pending is
             # unchanged anyway (empty-ring queries keep expanding)
             pending = join_safe(pending).join(
-                join_safe(final_ids), "left_anti", 16, on=("query_id",)
+                join_safe(final_ids), "left_anti", n_part, on=("query_id",)
             ).materialize()
             if pending.count() == 0:
                 break
