@@ -1324,17 +1324,18 @@ def q_grouped_quantiles(sf_dir: str):
             .size().reset_index(name="n")
         )
 
+    from ..stages.agg import quantile_disc_from_histogram
+
     hist = two_phase_agg(ds, partial, ["event_type", "value_c"], ["n"],
                          combine="shuffle").to_pandas()
     # finalize: histogram is O(groups x distinct cents) — driver-sized
     rows = []
     for et, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("value_c", kind="mergesort")
-        cum = g["n"].cumsum().to_numpy()
-        total = int(cum[-1])
+        total = int(g["n"].sum())
         for q in (0.25, 0.5, 0.9):
-            target = int(np.ceil(q * total))
-            v = int(g["value_c"].to_numpy()[np.searchsorted(cum, target)])
+            v = int(quantile_disc_from_histogram(
+                g["value_c"].to_numpy(), g["n"].to_numpy(), q))
             rows.append((et, q, v, total))
     out = pd.DataFrame(rows, columns=["event_type", "q", "value_c", "n_rows"])
     out["value_c"] = out["value_c"].astype(np.int64)

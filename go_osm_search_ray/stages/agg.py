@@ -119,6 +119,19 @@ def bucketed_group_apply(ds, keys, bucket_fn, n_buckets: int = 64):
     )
 
 
+def quantile_disc_from_histogram(values, counts, q: float) -> int:
+    """percentile_disc over a value histogram: the smallest value whose
+    cumulative count reaches ceil(q * n).  `values` must be sorted
+    ascending; exact for integer domains (the histogram IS the sorted
+    multiset) — DuckDB quantile_disc semantics."""
+    import numpy as np
+
+    values = np.asarray(values)
+    cum = np.cumsum(np.asarray(counts, dtype=np.int64))
+    target = int(np.ceil(q * cum[-1]))
+    return values[np.searchsorted(cum, target)]
+
+
 def asof_join_tagged(ds, key, ts_col, side_col, left_val, right_val,
                      right_cols, n_buckets: int = 64, rsuffix: str = "_r"):
     """Keyed backward AS-OF join over ONE tagged stream: each left-side

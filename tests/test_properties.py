@@ -178,3 +178,20 @@ class TestTextProperties:
             assert d > 3
         # decision symmetry
         assert (levenshtein(b, a, max_d=3) <= 3) == (d <= 3)
+
+
+class TestQuantileHistogram:
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-100, max_value=100),
+                    min_size=1, max_size=60),
+           st.floats(min_value=0.01, max_value=1.0))
+    def test_matches_sorted_multiset(self, vals, q):
+        """percentile_disc over the histogram == indexing the sorted
+        multiset at ceil(q*n) (the definition, independent code path)."""
+        from go_osm_search_ray.stages.agg import quantile_disc_from_histogram
+
+        arr = np.sort(np.array(vals, dtype=np.int64))
+        uniq, counts = np.unique(arr, return_counts=True)
+        got = quantile_disc_from_histogram(uniq, counts, q)
+        want = arr[int(np.ceil(q * len(arr))) - 1]
+        assert got == want
