@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "embedding_knn", "pricing_summary", "segment_revenue", "events_window",
     # round-2 additions
     "events_sessionize", "boolean_and", "simhash_signatures", "image_ahash",
+    # round-3 additions
+    "rasterize", "vectorize", "tile_pyramid", "events_asof",
+    "grouped_quantiles", "sample_hash",
 ]
 
 
