@@ -1047,11 +1047,20 @@ WHERE d.d/(na.nrm*nb.nrm) >= 0.4
 
 
 def q_pricing_summary(sf_dir: str):
-    """TPC-H-Q1-style grouped aggregate with per-batch partial combine."""
+    """TPC-H-Q1-style grouped aggregate with per-batch partial combine.
+
+    The shipdate predicate is PUSHED TO THE READ (pyarrow dataset
+    filter -> row-group/page pruning at storage); the in-map filter
+    stays as the exact row-level guard (pushdown is allowed to be
+    coarse)."""
+    import pyarrow.dataset as pds
+
     ds = read_table(
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_shipdate"],
+        filter=(pds.field("l_shipdate")
+                <= pa.scalar(pd.Timestamp("1998-09-01"))),
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
