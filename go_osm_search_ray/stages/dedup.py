@@ -40,6 +40,26 @@ def _hash64(s: str) -> np.uint64:
     return np.uint64(int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little"))
 
 
+def _shingle_hashes_batch(toks, k: int) -> list[np.ndarray]:
+    """Per-doc SORTED-UNIQUE shingle-hash arrays, hashing each distinct
+    shingle ONCE per batch (docs in a batch share most shingles in
+    dup-heavy corpora — the md5 count drops to the batch's unique
+    shingle count)."""
+    cache: dict[str, np.uint64] = {}
+    out = []
+    for ws in toks:
+        sh = _shingles(ws, k)
+        hv = np.empty(len(sh), dtype=np.uint64)
+        for i, t in enumerate(sh):
+            h = cache.get(t)
+            if h is None:
+                h = _hash64(t)
+                cache[t] = h
+            hv[i] = h
+        out.append(np.unique(hv))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -199,9 +219,8 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
         out = {"band": [], "bucket": [], id_col: [], "sig": []}
-        for i, ws in enumerate(toks):
-            sh = _shingles(ws, k_shingle)
-            hv = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        hvs = _shingle_hashes_batch(toks, k_shingle)
+        for i, hv in enumerate(hvs):
             sig = hasher.signature(hv)
             sig_b = sig.tobytes()
             for b in range(bands):
@@ -288,9 +307,7 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     # column would not
     def doc_hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize_series(batch[text_col])
-        hs = [np.unique(np.fromiter((_hash64(s) for s in _shingles(ws, k_shingle)),
-                                    dtype=np.uint64))
-              for ws in toks]
+        hs = _shingle_hashes_batch(toks, k_shingle)
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "hashes": [h.tobytes() for h in hs],
