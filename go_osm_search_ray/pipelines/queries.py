@@ -223,6 +223,61 @@ FROM orders GROUP BY 1
 """
 
 
+def q_zonal_stats(sf_dir: str):
+    """ZONAL STATISTICS (the classic vector-overlay aggregate): per
+    polygon, the count and integer-cent value sum of the points it
+    contains — PIP spatial join (broadcast compiled polygons) composed
+    with the bounded-key two-phase combine (25 nations -> driver
+    combine).  Points carry o_totalprice as the value band."""
+    from ..stages.agg import two_phase_agg
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = tiling.derive_key_latlon("o_orderkey")(b)
+        b = tiling.assign_tiles(TILE_RES)(b)
+        return b.rename_columns(["point_id", "totalprice", "lat", "lon",
+                                 "tile_id"])
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    joined = pip.pip_join(pts, nation_rects(sf_dir), tile_res=TILE_RES,
+                          attach_meta=False)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["polygon_id"] >= 0]
+        cents = np.round(b["totalprice"].to_numpy() * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"polygon_id": b["polygon_id"], "value_c": cents})
+            .groupby("polygon_id", sort=False)
+            .agg(n_points=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+
+    out = two_phase_agg(joined, partial, ["polygon_id"],
+                        ["n_points", "sum_value_c"], combine="driver")
+    out["polygon_id"] = out["polygon_id"].astype(np.int64)
+    out["n_points"] = out["n_points"].astype(np.int64)
+    out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
+    return out
+
+
+SQL_ZONAL_STATS = f"""
+WITH p AS (SELECT CAST(o_orderkey AS BIGINT) AS point_id,
+                  {sql_lat('o_orderkey')} AS lat, {sql_lon('o_orderkey')} AS lon,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS value_c
+           FROM orders),
+r AS ({SQL_NATION_RECTS}),
+hit AS (SELECT p.point_id, MIN(r.polygon_id) AS polygon_id,
+               MIN(p.value_c) AS value_c
+        FROM p JOIN r ON p.lat BETWEEN r.lat0 AND r.lat1
+                     AND p.lon BETWEEN r.lon0 AND r.lon1
+        GROUP BY p.point_id)
+SELECT polygon_id, COUNT(*) AS n_points,
+       CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+FROM hit GROUP BY 1
+"""
+
+
 def q_rasterize(sf_dir: str):
     """VECTOR -> RASTER: nation rectangles burned into the res-6 tile
     grid (one row per covered cell, center-in-rect inclusive), oracled
@@ -2197,6 +2252,7 @@ def registry():
         "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
         "pip_join": (q_pip_join, SQL_PIP_JOIN),
         "rasterize": (q_rasterize, SQL_RASTERIZE),
+        "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
         "vectorize": (q_vectorize, SQL_VECTORIZE),
         "knn_join": (q_knn_join, SQL_KNN_JOIN),
