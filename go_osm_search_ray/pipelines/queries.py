@@ -1461,6 +1461,68 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
 
 
+def q_range_join(sf_dir: str):
+    """RANGE (interval-containment) JOIN with no equi-key: events
+    joined to 25 overlapping promo windows derived from the nation
+    table (window k = [epoch + 30h*k, +72h)), aggregated to per-window
+    event count + integer-cent value sum.  Exercises the distributed
+    bucketized interval join (interval replicated per day-bucket,
+    native hash join on bucket, exact containment filter) — the 1-D
+    analogue of the R-tree range search (rtree.go:553-580)."""
+    from ..stages.agg import interval_join, two_phase_agg
+
+    EPOCH = np.datetime64("2024-01-01", "us").astype(np.int64)
+    H_US = 3_600_000_000
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "value_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    pts = ev.map_batches(prep, batch_format="pandas")
+
+    na = read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def mk_iv(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["n_nationkey"].to_numpy(np.int64)
+        t0 = EPOCH + k * 30 * H_US
+        return pd.DataFrame({"interval_id": k, "t0": t0, "t1": t0 + 72 * H_US})
+
+    iv = na.map_batches(mk_iv, batch_format="pandas")
+    joined = interval_join(pts, iv, "ts", "t0", "t1",
+                           bucket_us=86_400_000_000)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("interval_id", sort=False)
+            .agg(n_events=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+
+    out = two_phase_agg(joined, partial, ["interval_id"],
+                        ["n_events", "sum_value_c"], combine="driver")
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (SELECT n_nationkey AS interval_id,
+                   TIMESTAMP '2024-01-01' + n_nationkey * INTERVAL 30 HOUR AS t0,
+                   TIMESTAMP '2024-01-01' + n_nationkey * INTERVAL 30 HOUR
+                     + INTERVAL 72 HOUR AS t1
+            FROM nation)
+SELECT iv.interval_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events e JOIN iv ON e.ts >= iv.t0 AND e.ts < iv.t1
+GROUP BY 1
+"""
+
+
 def q_event_type_users(sf_dir: str):
     """COUNT DISTINCT, fully distributed: per-batch distinct pairs ->
     bucket-hash shuffle on the pair key (a cheap 64-group sort; every
@@ -2291,6 +2353,7 @@ def registry():
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+        "range_join": (q_range_join, SQL_RANGE_JOIN),
         "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
         "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),

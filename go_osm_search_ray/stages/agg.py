@@ -132,6 +132,78 @@ def quantile_disc_from_histogram(values, counts, q: float) -> int:
     return values[np.searchsorted(cum, target)]
 
 
+def _col_us(series) -> "pd.Series":
+    """Timestamp-like column -> int64 microseconds (int columns pass
+    through)."""
+    import numpy as np
+
+    v = series.to_numpy()
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[us]").astype(np.int64)
+    return v.astype(np.int64)
+
+
+def interval_join(points_ds, intervals_ds, ts_col, t0_col, t1_col,
+                  bucket_us: int, n_partitions: int | None = None):
+    """Distributed INTERVAL (range-containment) join: every point row
+    is matched to every interval row with t0 <= ts < t1, with NO
+    equi-key — the pure range predicate.  Reference analogue: the
+    R-tree range search over 1-D extents (rtree.go:553-580's bbox
+    overlap test restricted to one axis).
+
+    Scale shape (the standard distributed interval join): time is cut
+    into `bucket_us`-wide buckets; each INTERVAL is replicated to every
+    bucket it overlaps (vectorized np.repeat), each POINT lands in
+    exactly ONE bucket, and the two sides meet in the native hash join
+    on the bucket id — an equi-join the engine partitions by
+    hash(bucket), so no side is broadcast and no all-to-all sort runs.
+    The exact containment predicate filters the per-bucket candidates.
+    A point matches an interval in exactly one bucket (its own), so the
+    output needs no dedup.  Pick bucket_us on the order of the typical
+    interval length: replication factor = len/bucket_us + 1, while the
+    per-bucket candidate count shrinks with narrower buckets.
+
+    Caller contract: the two sides share NO column names; `ts_col` on
+    points and `t0_col`/`t1_col` on intervals may be datetime64 or
+    int64 microseconds.  Returns the joined Dataset with both sides'
+    columns (timestamps preserved as-is; the bucket id is dropped).
+    """
+    import numpy as np
+
+    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(_tb=pd.Series([], dtype="int64"))
+        return b.assign(_tb=_col_us(b[ts_col]) // bucket_us)
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(_tb=pd.Series([], dtype="int64"))
+        t0 = _col_us(b[t0_col])
+        t1 = _col_us(b[t1_col])
+        b0 = t0 // bucket_us
+        b1 = np.maximum(t1 - 1, t0) // bucket_us  # t1 exclusive
+        counts = b1 - b0 + 1
+        idx = np.repeat(np.arange(len(b)), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        out = b.iloc[idx].reset_index(drop=True)
+        out["_tb"] = b0[idx] + offs
+        return out
+
+    n_part = n_partitions or default_join_partitions()
+    pts = points_ds.map_batches(tag_points, batch_format="pandas")
+    ivs = intervals_ds.map_batches(replicate, batch_format="pandas")
+    joined = join_safe(pts).join(join_safe(ivs), "inner", n_part,
+                                 on=("_tb",))
+
+    def contain(b: pd.DataFrame) -> pd.DataFrame:
+        ts = _col_us(b[ts_col])
+        keep = (ts >= _col_us(b[t0_col])) & (ts < _col_us(b[t1_col]))
+        return b[keep].drop(columns=["_tb"])
+
+    return joined.map_batches(contain, batch_format="pandas")
+
+
 def asof_join_tagged(ds, key, ts_col, side_col, left_val, right_val,
                      right_cols, n_buckets: int = 64, rsuffix: str = "_r"):
     """Keyed backward AS-OF join over ONE tagged stream: each left-side

@@ -593,3 +593,59 @@ class TestAsofJoin:
         assert by_user[7].event_id_r == 2   # latest prior click wins
         assert by_user[8].event_id_r == 5
         assert 9 not in by_user             # click-only user emits nothing
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntervalJoin:
+    def test_containment_boundaries_and_replication(self):
+        import numpy as np
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.agg import interval_join
+
+        B = 100  # bucket width (us)
+        pts = pd.DataFrame({
+            "pid": np.arange(6, dtype=np.int64),
+            "ts": np.array([0, 50, 100, 250, 299, 300], dtype=np.int64),
+        })
+        # iv0 [0,300) spans 3 buckets; iv1 [50,51) zero-ish; iv2 [290,310)
+        # straddles a bucket edge; iv3 [1000,1100) matches nothing
+        ivs = pd.DataFrame({
+            "iid": np.array([0, 1, 2, 3], dtype=np.int64),
+            "t0": np.array([0, 50, 290, 1000], dtype=np.int64),
+            "t1": np.array([300, 51, 310, 1100], dtype=np.int64),
+        })
+        out = interval_join(
+            rd.from_pandas(pts).repartition(3),
+            rd.from_pandas(ivs).repartition(2),
+            "ts", "t0", "t1", bucket_us=B,
+        ).to_pandas()
+        got = set(zip(out["pid"], out["iid"]))
+        # brute-force oracle
+        want = {(p.pid, i.iid) for p in pts.itertuples()
+                for i in ivs.itertuples() if i.t0 <= p.ts < i.t1}
+        assert got == want
+        assert (5, 0) not in got            # t1 exclusive
+        assert (4, 2) in got and (5, 2) in got  # straddling interval
+        # no duplicate (point, interval) pairs despite replication
+        assert len(out) == len(got)
+
+    def test_datetime_columns(self):
+        import numpy as np
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.agg import interval_join
+
+        pts = pd.DataFrame({
+            "pid": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 06:00", "2024-01-03 00:00"]),
+        })
+        ivs = pd.DataFrame({
+            "iid": [10],
+            "t0": pd.to_datetime(["2024-01-01"]),
+            "t1": pd.to_datetime(["2024-01-02"]),
+        })
+        out = interval_join(rd.from_pandas(pts), rd.from_pandas(ivs),
+                            "ts", "t0", "t1",
+                            bucket_us=3_600_000_000).to_pandas()
+        assert set(zip(out["pid"], out["iid"])) == {(1, 10)}
