@@ -1461,6 +1461,69 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
 
 
+def q_bloom_semijoin(sf_dir: str):
+    """EXACT semi-join with a Bloom pre-filter: lineitem rows whose
+    order is 1-URGENT, aggregated per returnflag.  The key side builds
+    a tree-merged Bloom bitmap (broadcast once per worker process);
+    the probe side drops ~80% of its rows vectorized BEFORE the exact
+    left_semi hash join — the 100-TB pattern for keeping a semi-join
+    from shuffling the full probe table.  Exactness restored by the
+    verify join, so the SQL oracle is a plain IN-subquery."""
+    from ..stages.agg import two_phase_agg
+    from ..stages.sketch import bloom_semi_join
+
+    import pyarrow.parquet as pq
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b[b["o_orderpriority"] == "1-URGENT"][["o_orderkey"]],
+        batch_format="pandas")
+    # metadata-derived key-count hint (5 priorities, uniform-ish): at
+    # scale this comes from table stats, never a counting pre-pass
+    n_hint = max(64, pq.ParquetFile(
+        f"{sf_dir}/orders.parquet").metadata.num_rows // 5)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "l_returnflag": b["l_returnflag"],
+            "price_c": np.round(
+                b["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+        })
+
+    probe = li.map_batches(prep, batch_format="pandas")
+    sj = bloom_semi_join(probe, urgent, "l_orderkey", "o_orderkey",
+                         n_keys_hint=n_hint)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("l_returnflag", sort=False)
+            .agg(n_rows=("price_c", "size"), sum_price_c=("price_c", "sum"))
+            .reset_index()
+        )
+
+    out = two_phase_agg(sj, partial, ["l_returnflag"],
+                        ["n_rows", "sum_price_c"], combine="driver")
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_price_c"] = out["sum_price_c"].astype(np.int64)
+    return out
+
+
+SQL_BLOOM_SEMIJOIN = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 def q_range_join(sf_dir: str):
     """RANGE (interval-containment) JOIN with no equi-key: events
     joined to 25 overlapping promo windows derived from the nation
@@ -2354,6 +2417,7 @@ def registry():
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "range_join": (q_range_join, SQL_RANGE_JOIN),
+        "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
         "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
         "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),

@@ -100,3 +100,139 @@ def approx_count_distinct(ds, key_cols: list[str], value_col: str,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_group_apply(partials, key_cols, merge_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the broadcast pre-filter that keeps a semi-join from
+# shuffling the (huge) probe side.  Reference analogue: the postings
+# intersection fast-path (boolean AND skips docs absent from the
+# shorter list, boolean_query.go) generalized to keyed row filtering.
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix) —
+    process-independent uint64 hashing for integer keys."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bloom_params(n_keys: int, fpp: float = 0.002) -> tuple[int, int]:
+    """(m_bits power-of-two, k hashes) for a target false-positive
+    rate — standard m = -n ln p / ln2^2, k = (m/n) ln2."""
+    n_keys = max(1, n_keys)
+    m = -n_keys * np.log(fpp) / (np.log(2.0) ** 2)
+    m_bits = 1 << max(6, int(np.ceil(np.log2(m))))
+    k = max(1, int(round(m_bits / n_keys * np.log(2.0))))
+    return m_bits, min(k, 16)
+
+
+def bloom_set(bits: np.ndarray, keys: np.ndarray, k: int) -> None:
+    """Set the k double-hashed positions of each key in the packed
+    uint64 bitmap (m_bits = len(bits)*64 must be a power of two)."""
+    mask = np.uint64(len(bits) * 64 - 1)
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized membership mask (true = possibly present)."""
+    mask = np.uint64(len(bits) * 64 - 1)
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return out
+
+
+def bloom_build(keys_ds, key_col: str, m_bits: int, k: int,
+                fanin: int = 8):
+    """Distributed Bloom build: one packed-uint64 partial bitmap per
+    block (vectorized bloom_set), then a Ray-task TREE of bitwise-OR
+    merges (fan-in `fanin`) — the driver receives only the FINAL
+    bitmap; partials live in the object store.  Returns the merged
+    np.uint64 bitmap."""
+    import ray
+
+    words = m_bits // 64
+
+    def block_bitmap(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(words, dtype=np.uint64)
+        if len(b):
+            bloom_set(bits, b[key_col].to_numpy(np.int64).view(np.uint64), k)
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    @ray.remote
+    def or_merge(*parts):
+        out = np.zeros(words, dtype=np.uint64)
+        for p in parts:
+            if isinstance(p, bytes):
+                out |= np.frombuffer(p, dtype=np.uint64)
+            else:  # arrow/pandas block from to_arrow_refs
+                for buf in p["bits"].to_pylist() if hasattr(p, "to_pylist") \
+                        else p["bits"]:
+                    out |= np.frombuffer(buf, dtype=np.uint64)
+        return out.tobytes()
+
+    refs = keys_ds.map_batches(block_bitmap,
+                               batch_format="pandas").to_arrow_refs()
+    level = list(refs)
+    while len(level) > 1:
+        level = [or_merge.remote(*level[i:i + fanin])
+                 for i in range(0, len(level), fanin)]
+    merged = ray.get(level[0]) if level else np.zeros(words, np.uint64).tobytes()
+    if not isinstance(merged, bytes):  # single-block dataset: raw block
+        merged = ray.get(or_merge.remote(merged))
+    return np.frombuffer(merged, dtype=np.uint64)
+
+
+def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
+                    n_keys_hint: int, fpp: float = 0.002,
+                    n_partitions: int | None = None):
+    """EXACT distributed semi-join, Bloom-accelerated: the key side
+    builds a Bloom filter (tree-merged, broadcast via ray.put + the
+    per-worker-process state cache), the probe side drops non-members
+    in a vectorized map_batches BEFORE any shuffle — at a 0.2% false-
+    positive rate the subsequent exact hash join moves only true
+    matches + 0.2% noise instead of the whole probe table.  The verify
+    join (inner, on the key) removes the false positives, so the
+    result is EXACT.  keys_ds must be distinct on build_key.
+
+    100-TB shape: probe side streams (never materialized); filter
+    state is one bitmap sized to the KEY side (~1.8 GiB per 10^9 keys
+    at 0.2%), shipped once per worker process, not per batch."""
+    import ray
+
+    from .agg import default_join_partitions, join_safe
+    from .knn import cached_state
+
+    m_bits, k = bloom_params(n_keys_hint, fpp)
+    bits = bloom_build(keys_ds, build_key, m_bits, k)
+    ref = ray.put(bits)
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        bm = cached_state(f"bloom-{id(ref)}", lambda: ray.get(ref))
+        if len(b) == 0:
+            return b
+        keep = bloom_contains(
+            bm, b[probe_key].to_numpy(np.int64).view(np.uint64), k)
+        return b[keep]
+
+    survivors = probe_ds.map_batches(prefilter, batch_format="pandas")
+    n_part = n_partitions or default_join_partitions()
+    keys_only = keys_ds.select_columns([build_key])
+    if build_key == probe_key:
+        return join_safe(survivors).join(
+            join_safe(keys_only), "left_semi", n_part, on=(probe_key,))
+    return join_safe(survivors).join(
+        join_safe(keys_only), "inner", n_part,
+        on=(probe_key,), right_on=(build_key,))

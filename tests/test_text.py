@@ -242,3 +242,69 @@ class TestHLLSketch:
         for r in got.itertuples():
             e = exact[r.event_type]
             assert abs(r.approx_distinct - e) <= max(2, rel_bound * e)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fpp(self):
+        from go_osm_search_ray.stages.sketch import (
+            bloom_contains, bloom_params, bloom_set)
+
+        rng = np.random.default_rng(7)
+        keys = rng.choice(10_000_000, 20_000, replace=False).astype(np.uint64)
+        m_bits, k = bloom_params(len(keys), fpp=0.002)
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        bloom_set(bits, keys, k)
+        assert bloom_contains(bits, keys, k).all()  # zero false negatives
+        probe = (np.arange(50_000, dtype=np.uint64)
+                 + np.uint64(20_000_000))          # disjoint from keys
+        fp = bloom_contains(bits, probe, k).mean()
+        assert fp < 0.01                            # ~5x slack on 0.002
+
+    def test_partial_merge_equals_single_build(self):
+        from go_osm_search_ray.stages.sketch import bloom_params, bloom_set
+
+        keys = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+        m_bits, k = bloom_params(1000)
+        one = np.zeros(m_bits // 64, dtype=np.uint64)
+        bloom_set(one, keys, k)
+        merged = np.zeros(m_bits // 64, dtype=np.uint64)
+        for part in np.array_split(keys, 7):
+            p = np.zeros(m_bits // 64, dtype=np.uint64)
+            bloom_set(p, part, k)
+            merged |= p
+        assert np.array_equal(one, merged)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomSemiJoin:
+    def test_exact_under_forced_false_positives(self):
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.sketch import bloom_semi_join
+
+        # tiny hint -> tiny undersized bitmap -> many Bloom false
+        # positives; the verify join must still make the result exact
+        keys = pd.DataFrame({"k": np.arange(0, 500, 5, dtype=np.int64)})
+        probe = pd.DataFrame({
+            "pk": np.arange(2000, dtype=np.int64) % 700,
+            "v": np.arange(2000, dtype=np.int64),
+        })
+        out = bloom_semi_join(
+            rd.from_pandas(probe).repartition(4),
+            rd.from_pandas(keys).repartition(2),
+            "pk", "k", n_keys_hint=4, fpp=0.5,
+        ).to_pandas()
+        want = probe[probe["pk"].isin(set(keys["k"]))]
+        assert sorted(out["v"]) == sorted(want["v"])
+        assert list(out.columns) == ["pk", "v"]  # left_semi keeps probe cols
+
+    def test_distinct_key_names(self):
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.sketch import bloom_semi_join
+
+        keys = pd.DataFrame({"k": np.array([1, 3], dtype=np.int64)})
+        probe = pd.DataFrame({"pk": np.array([1, 2, 3, 4], dtype=np.int64)})
+        out = bloom_semi_join(rd.from_pandas(probe), rd.from_pandas(keys),
+                              "pk", "k", n_keys_hint=2).to_pandas()
+        assert sorted(out["pk"]) == [1, 3]
