@@ -1461,6 +1461,32 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """EXACT frequent terms (count >= 200) via a Count-Min sketch:
+    per-block CM partials tree-SUM-merged (the only global state is
+    the fixed d x w counter matrix), broadcast back, per-batch
+    CM-estimate filter (overestimate -> zero false negatives), exact
+    two-phase recount of the surviving tiny key set.  The vocabulary
+    itself is never shuffled — the 100-TB path for term stats."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    out = heavy_hitters(ds, "text", threshold=200)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n"] = b["n"].astype(np.int64)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT t.term, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d, unnest({TOK}) AS t(term)
+GROUP BY 1 HAVING COUNT(*) >= 200
+"""
+
+
 def q_bloom_semijoin(sf_dir: str):
     """EXACT semi-join with a Bloom pre-filter: lineitem rows whose
     order is 1-URGENT, aggregated per returnflag.  The key side builds
@@ -2418,6 +2444,7 @@ def registry():
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
+        "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
         "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
         "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),

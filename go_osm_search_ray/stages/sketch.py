@@ -236,3 +236,124 @@ def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
     return join_safe(survivors).join(
         join_safe(keys_only), "inner", n_part,
         on=(probe_key,), right_on=(build_key,))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch + EXACT distributed heavy hitters.  The CM sketch
+# is the fixed-size mergeable structure that lets a 100-TB corpus find
+# its frequent terms WITHOUT ever shuffling the full vocabulary: the
+# only global state is the d x w counter matrix (sum-mergeable), and
+# the only shuffled keys are the CM-filtered survivors.
+
+
+_CM_SEEDS = np.array([0x2545F4914F6CDD1D, 0x9E3779B97F4A7C15,
+                      0xD6E8FEB86659FD93, 0xA24BAED4963EE407,
+                      0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+                     dtype=np.uint64)
+
+
+def _cm_cols(h: np.ndarray, w: int, d: int) -> np.ndarray:
+    """(d, n) column indices for pre-hashed uint64 keys — row i uses an
+    independent splitmix64 re-mix of the key hash."""
+    return np.stack([
+        (_splitmix64(h ^ _CM_SEEDS[i]) % np.uint64(w)).astype(np.int64)
+        for i in range(d)
+    ])
+
+
+def cm_add(cm: np.ndarray, h: np.ndarray, counts: np.ndarray) -> None:
+    """Add `counts` for keys with hashes `h` into the (d, w) int64
+    sketch (np.add.at per row; duplicate keys accumulate)."""
+    d, w = cm.shape
+    cols = _cm_cols(h, w, d)
+    for i in range(d):
+        np.add.at(cm[i], cols[i], counts)
+
+
+def cm_estimate(cm: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Point-query upper-bound estimates (min over the d rows) — never
+    underestimates, so filtering est >= T keeps every true >=T key."""
+    d, w = cm.shape
+    cols = _cm_cols(h, w, d)
+    return np.min(np.stack([cm[i, cols[i]] for i in range(d)]), axis=0)
+
+
+def _term_hash(terms: pd.Series) -> np.ndarray:
+    """Process-stable uint64 hashes for string keys (the same
+    pd.util.hash_pandas_object primitive every distributed bucket
+    shuffle in this repo already relies on for cross-worker agreement)."""
+    return pd.util.hash_pandas_object(terms, index=False).to_numpy()
+
+
+def heavy_hitters(ds, text_col: str = "text", threshold: int = 200,
+                  w: int = 1 << 16, d: int = 4, fanin: int = 8):
+    """EXACT terms with global count >= threshold, in two streaming
+    scans and NO vocabulary shuffle:
+
+    scan 1  per-batch token counts -> per-block (d, w) Count-Min
+            partial -> Ray-task tree SUM merge (driver receives only
+            the final d*w*8-byte sketch);
+    scan 2  per-batch token counts -> CM estimate (sketch broadcast
+            via ray.put + per-process cache) -> keep terms with
+            est >= threshold (CM overestimates: a SUPERSET of the true
+            heavy hitters, zero false negatives) -> two-phase exact
+            SUM over the tiny survivor key space -> final >= threshold
+            filter on the exact totals.
+
+    Shuffle volume is O(survivors x blocks), bounded by the CM error
+    (~2N/w extra mass per row): size w ~ corpus_tokens/threshold for
+    tight pruning.  Returns a Dataset of (term, n)."""
+    import ray
+
+    from .agg import two_phase_agg
+    from .knn import cached_state
+    from .text import tokenize_series
+
+    def batch_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize_series(b[text_col]).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"term": vc.index,
+                             "n": vc.to_numpy(np.int64)})
+
+    def block_sketch(b: pd.DataFrame) -> pd.DataFrame:
+        c = batch_counts(b)
+        cm = np.zeros((d, w), dtype=np.int64)
+        if len(c):
+            cm_add(cm, _term_hash(c["term"]), c["n"].to_numpy())
+        return pd.DataFrame({"cm": [cm.tobytes()]})
+
+    @ray.remote
+    def sum_merge(*parts):
+        out = np.zeros((d, w), dtype=np.int64)
+        for p in parts:
+            if isinstance(p, bytes):
+                out += np.frombuffer(p, dtype=np.int64).reshape(d, w)
+            else:
+                for buf in p["cm"].to_pylist():
+                    out += np.frombuffer(buf, dtype=np.int64).reshape(d, w)
+        return out.tobytes()
+
+    refs = ds.map_batches(block_sketch, batch_format="pandas").to_arrow_refs()
+    level = list(refs)
+    while len(level) > 1:
+        level = [sum_merge.remote(*level[i:i + fanin])
+                 for i in range(0, len(level), fanin)]
+    merged = ray.get(level[0]) if level else np.zeros((d, w), np.int64).tobytes()
+    if not isinstance(merged, bytes):
+        merged = ray.get(sum_merge.remote(merged))
+    cm_ref = ray.put(np.frombuffer(merged, dtype=np.int64).reshape(d, w))
+
+    def survivors(b: pd.DataFrame) -> pd.DataFrame:
+        cm = cached_state(f"cm-{id(cm_ref)}", lambda: ray.get(cm_ref))
+        c = batch_counts(b)
+        if len(c) == 0:
+            return c
+        est = cm_estimate(cm, _term_hash(c["term"]))
+        return c[est >= threshold]
+
+    totals = two_phase_agg(ds, survivors, ["term"], ["n"])
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["n"] >= threshold]
+
+    return totals.map_batches(final, batch_format="pandas")

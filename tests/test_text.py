@@ -308,3 +308,60 @@ class TestBloomSemiJoin:
         out = bloom_semi_join(rd.from_pandas(probe), rd.from_pandas(keys),
                               "pk", "k", n_keys_hint=2).to_pandas()
         assert sorted(out["pk"]) == [1, 3]
+
+
+class TestCountMin:
+    def test_never_underestimates_and_tight_for_heavy(self):
+        from go_osm_search_ray.stages.sketch import (
+            _term_hash, cm_add, cm_estimate)
+
+        rng = np.random.default_rng(3)
+        terms = pd.Series([f"t{i}" for i in range(5000)])
+        counts = rng.integers(1, 20, size=5000)
+        counts[:5] = [900, 800, 700, 600, 500]       # planted heavies
+        cm = np.zeros((4, 1 << 14), dtype=np.int64)
+        h = _term_hash(terms)
+        cm_add(cm, h, counts)
+        est = cm_estimate(cm, h)
+        assert (est >= counts).all()                  # one-sided error
+        # heavy estimates within the expected additive slack (2N/w)
+        slack = 2 * counts.sum() / (1 << 14)
+        assert (est[:5] - counts[:5] <= 10 * slack + 1).all()
+
+    def test_merge_is_sum(self):
+        from go_osm_search_ray.stages.sketch import _term_hash, cm_add
+
+        terms = pd.Series(["a", "b", "c", "a"])
+        h = _term_hash(terms)
+        one = np.zeros((2, 64), dtype=np.int64)
+        cm_add(one, h, np.array([1, 2, 3, 4]))
+        p1 = np.zeros((2, 64), dtype=np.int64)
+        p2 = np.zeros((2, 64), dtype=np.int64)
+        cm_add(p1, h[:2], np.array([1, 2]))
+        cm_add(p2, h[2:], np.array([3, 4]))
+        assert np.array_equal(one, p1 + p2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def test_exact_against_brute_force(self):
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.sketch import heavy_hitters
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(200)]
+        weights = np.ones(200)
+        weights[:8] = 400                             # planted heavies
+        weights /= weights.sum()
+        docs = [" ".join(rng.choice(vocab, size=30, p=weights))
+                for _ in range(300)]
+        df = pd.DataFrame({"text": docs})
+        # tiny sketch (w=256) -> real CM collisions; result must stay exact
+        out = heavy_hitters(rd.from_pandas(df).repartition(5), "text",
+                            threshold=120, w=256, d=4).to_pandas()
+        exact = (pd.Series(" ".join(docs).split()).value_counts())
+        want = exact[exact >= 120]
+        assert sorted(out["term"]) == sorted(want.index)
+        got = dict(zip(out["term"], out["n"]))
+        assert all(got[t] == want[t] for t in want.index)
