@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "events_sessionize", "boolean_and", "simhash_signatures", "image_ahash",
     # round-3 additions
     "rasterize", "vectorize", "tile_pyramid", "events_asof",
-    "grouped_quantiles", "sample_hash", "zonal_stats",
+    "grouped_quantiles", "sample_hash", "zonal_stats", "range_join",
+    "bloom_semijoin", "heavy_hitters",
 ]
 
 

@@ -1461,6 +1461,40 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
 
 
+def q_distance_join(sf_dir: str):
+    """All-pairs spatial θ-join: every customer pair within 200 km,
+    with NO broadcast side — cell-partitioned home/ghost replication +
+    vectorized per-bucket merge (stages/knn.distance_self_join).  The
+    symmetric generalization of the R-tree range search
+    (rtree.go:553-580); dist emitted rounded to 6 (same formula text
+    both sides)."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = tiling.derive_key_latlon("c_custkey")(b)
+        return b.rename_columns(["point_id", "lat", "lon"])
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    out = knn.distance_self_join(pts, radius_km=200.0, res=TILE_RES)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["dist_km"] = np.round(b["dist_km"], 6)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_DISTANCE_JOIN = f"""
+WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                  {sql_lat('c_custkey')} AS lat, {sql_lon('c_custkey')} AS lon
+           FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       round({sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 6) AS dist_km
+FROM p a JOIN p b ON a.id < b.id
+WHERE {sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 200.0
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """EXACT frequent terms (count >= 200) via a Count-Min sketch:
     per-block CM partials tree-SUM-merged (the only global state is
@@ -2445,6 +2479,7 @@ def registry():
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
         "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+        "distance_join": (q_distance_join, SQL_DISTANCE_JOIN),
         "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
         "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),

@@ -657,3 +657,95 @@ def reverse_geocode(points_ds, streets: pa.Table, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# all-pairs distance self-join (spatial θ-join): every pair of rows
+# within radius_km, with NO broadcast side — both sides are the (huge)
+# table itself.  Reference analogue: the R-tree range search
+# (rtree.go:553-580) applied symmetrically over all objects.
+
+
+def _ring_steps_vec(lat: np.ndarray, res: int, radius_km: float) -> np.ndarray:
+    """Vectorized geo.cells_for_radius_km: per-point grid-step ring
+    radius covering radius_km at that point's latitude band."""
+    n = 1 << res
+    km_per_deg = 111.19492664455873
+    dlat_km = 180.0 / n * km_per_deg
+    lat_worst = np.minimum(89.999, np.abs(lat) + radius_km / km_per_deg)
+    coslat = np.maximum(1e-9, np.cos(np.radians(lat_worst)))
+    dlon_km = 360.0 / n * km_per_deg * coslat
+    return np.minimum(np.ceil(radius_km / np.minimum(dlat_km, dlon_km)),
+                      n).astype(np.int64)
+
+
+def distance_self_join(ds, radius_km: float, res: int = 7,
+                       id_col: str = "point_id", lat_col: str = "lat",
+                       lon_col: str = "lon", n_buckets: int = 64):
+    """All (id_a < id_b) pairs with haversine(a, b) <= radius_km.
+
+    Scale shape — the classic cell-partitioned spatial self-join:
+    every point is HOME in its own tile and replicated as a GHOST to
+    each tile of its covering ring (per-latitude ring radius, dedup
+    after clamp/wrap), pairs are found by a vectorized home x replica
+    merge on the cell inside hash buckets of cells
+    (bucketed_group_apply — no per-cell task, no global sort), and
+    each qualifying pair is emitted EXACTLY ONCE by the rule "emit in
+    the home cell of the smaller id": cell(a) is inside b's covering
+    ring whenever dist(a,b) <= radius (the same worst-case-latitude
+    guarantee the cell-kNN path relies on, geo.cells_for_radius_km),
+    so the (a home, b replica) match always exists.  Shuffle volume =
+    points x ring size; per-cell pair work is bounded by cell density
+    at the chosen res (hot cells: raise res, or salt as in
+    knn_cell_join).  Returns (id_a, id_b, dist_km)."""
+    from .agg import bucketed_group_apply
+    from .. import geo
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, lat_col, lon_col]
+        if len(b) == 0:
+            return b[cols].assign(
+                cell=pd.Series([], dtype="int64"),
+                home=pd.Series([], dtype="bool"))
+        lat = b[lat_col].to_numpy()
+        lon = b[lon_col].to_numpy()
+        own = geo.tile_id(lat, lon, res)
+        steps = _ring_steps_vec(lat, res, radius_km)
+        outs = []
+        for s in np.unique(steps):
+            m = steps == s
+            sub = b.loc[m, cols]
+            ring = geo.tile_ring(own[m], res, radius=int(s))
+            idx = np.repeat(np.arange(len(sub)), ring.shape[1])
+            rep = sub.iloc[idx].copy()
+            rep["cell"] = ring.ravel()
+            rep["home"] = rep["cell"].to_numpy() == np.repeat(own[m],
+                                                             ring.shape[1])
+            outs.append(rep)
+        out = pd.concat(outs, ignore_index=True)
+        # lat clamp / lon wrap can duplicate ring cells
+        return out.drop_duplicates([id_col, "cell"])
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g["home"]][[id_col, lat_col, lon_col, "cell"]]
+        allr = g[[id_col, lat_col, lon_col, "cell"]]
+        m = home.merge(allr, on="cell", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if len(m) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "dist_km": pd.Series([], dtype="float64")})
+        d = geo.haversine_km(m[f"{lat_col}_a"].to_numpy(),
+                             m[f"{lon_col}_a"].to_numpy(),
+                             m[f"{lat_col}_b"].to_numpy(),
+                             m[f"{lon_col}_b"].to_numpy())
+        keep = d <= radius_km
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_a"].to_numpy(np.int64)[keep],
+            "id_b": m[f"{id_col}_b"].to_numpy(np.int64)[keep],
+            "dist_km": d[keep],
+        })
+
+    rep = ds.map_batches(replicate, batch_format="pandas")
+    return bucketed_group_apply(rep, ["cell"], pairs_bucket,
+                                n_buckets=n_buckets)

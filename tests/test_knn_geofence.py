@@ -649,3 +649,39 @@ class TestIntervalJoin:
                             "ts", "t0", "t1",
                             bucket_us=3_600_000_000).to_pandas()
         assert set(zip(out["pid"], out["iid"])) == {(1, 10)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistanceSelfJoin:
+    def test_exact_vs_brute_force_with_poles_and_wrap(self):
+        import ray.data as rd
+
+        from go_osm_search_ray import geo
+        from go_osm_search_ray.stages.knn import distance_self_join
+
+        rng = np.random.default_rng(5)
+        n = 400
+        lat = rng.uniform(-90, 90, n)
+        lon = rng.uniform(-180, 180, n)
+        # force hard cases: high-latitude cluster + antimeridian straddle
+        lat[:20] = rng.uniform(87, 89.9, 20)
+        lon[:20] = rng.uniform(-180, 180, 20)
+        lat[20:40] = rng.uniform(-10, 10, 20)
+        lon[20:30] = rng.uniform(179.0, 180.0, 10)
+        lon[30:40] = rng.uniform(-180.0, -179.0, 10)
+        df = pd.DataFrame({"point_id": np.arange(n, dtype=np.int64),
+                           "lat": lat, "lon": lon})
+        R = 500.0
+        out = distance_self_join(rd.from_pandas(df).repartition(4),
+                                 radius_km=R, res=6).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert len(got) == len(out)  # each pair exactly once
+        hm = geo.hav_matrix(lat, lon, lat, lon)  # unitless hav term
+        ia, ib = np.nonzero(np.triu(hm <= geo.hav_of_km(R), k=1))
+        want = set(zip(ia.astype(np.int64), ib.astype(np.int64)))
+        assert got == want
+        # distances exact vs the same formula
+        m = dict(zip(zip(out["id_a"], out["id_b"]), out["dist_km"]))
+        for (a, b) in list(want)[:50]:
+            d = geo.haversine_km(lat[a], lon[a], lat[b], lon[b])
+            assert abs(m[(a, b)] - d) < 1e-9
