@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     # round-3 additions
     "rasterize", "vectorize", "tile_pyramid", "events_asof",
     "grouped_quantiles", "sample_hash", "zonal_stats", "range_join",
-    "bloom_semijoin", "heavy_hitters",
+    "bloom_semijoin", "heavy_hitters", "distance_join",
 ]
 
 

@@ -666,17 +666,37 @@ def reverse_geocode(points_ds, streets: pa.Table, concurrency=(1, 4),
 # (rtree.go:553-580) applied symmetrically over all objects.
 
 
-def _ring_steps_vec(lat: np.ndarray, res: int, radius_km: float) -> np.ndarray:
-    """Vectorized geo.cells_for_radius_km: per-point grid-step ring
-    radius covering radius_km at that point's latitude band."""
+def _ring_steps_aniso(lat: np.ndarray, res: int,
+                      radius_km: float) -> tuple[np.ndarray, np.ndarray]:
+    """Per-point ANISOTROPIC covering-ring steps (slat, slon) for a km
+    radius at that point's latitude band — the lat axis never needs
+    more than radius/dlat steps, so the polar longitude compression
+    must not inflate it (a square geo.cells_for_radius_km ring at the
+    pole is (2n+1)^2 cells; the rectangle is (2slat+1) x n).  slon is
+    capped at n/2: beyond that the wrapped ring already covers every
+    longitude."""
     n = 1 << res
     km_per_deg = 111.19492664455873
     dlat_km = 180.0 / n * km_per_deg
     lat_worst = np.minimum(89.999, np.abs(lat) + radius_km / km_per_deg)
     coslat = np.maximum(1e-9, np.cos(np.radians(lat_worst)))
     dlon_km = 360.0 / n * km_per_deg * coslat
-    return np.minimum(np.ceil(radius_km / np.minimum(dlat_km, dlon_km)),
-                      n).astype(np.int64)
+    slat = np.minimum(np.ceil(radius_km / dlat_km), n).astype(np.int64)
+    slon = np.minimum(np.ceil(radius_km / dlon_km), n // 2).astype(np.int64)
+    return slat, slon
+
+
+def _tile_rect(tile: np.ndarray, res: int, slat: int, slon: int) -> np.ndarray:
+    """Anisotropic tile_ring: neighbor cells within slat lat-steps x
+    slon lon-steps (lon wraps, lat clamps).  (len(tile), rows*cols)."""
+    n = 1 << res
+    x, y = tile % n, tile // n
+    ox, oy = np.meshgrid(np.arange(-slon, slon + 1),
+                         np.arange(-slat, slat + 1), indexing="ij")
+    ox, oy = ox.ravel(), oy.ravel()
+    nx = (x[:, None] + ox[None, :]) % n
+    ny = np.clip(y[:, None] + oy[None, :], 0, n - 1)
+    return ny * n + nx
 
 
 def distance_self_join(ds, radius_km: float, res: int = 7,
@@ -710,12 +730,14 @@ def distance_self_join(ds, radius_km: float, res: int = 7,
         lat = b[lat_col].to_numpy()
         lon = b[lon_col].to_numpy()
         own = geo.tile_id(lat, lon, res)
-        steps = _ring_steps_vec(lat, res, radius_km)
+        slat, slon = _ring_steps_aniso(lat, res, radius_km)
+        key = slat * (1 << 32) + slon
         outs = []
-        for s in np.unique(steps):
-            m = steps == s
+        for kv in np.unique(key):
+            m = key == kv
             sub = b.loc[m, cols]
-            ring = geo.tile_ring(own[m], res, radius=int(s))
+            ring = _tile_rect(own[m], res, int(kv >> 32),
+                              int(kv & 0xFFFFFFFF))
             idx = np.repeat(np.arange(len(sub)), ring.shape[1])
             rep = sub.iloc[idx].copy()
             rep["cell"] = ring.ravel()
