@@ -2134,6 +2134,58 @@ FROM bits GROUP BY 1
 """
 
 
+def q_phash_near_pairs(sf_dir: str):
+    """Image near-dup pairs by perceptual-hash Hamming distance at
+    DISTINCT-SIGNATURE granularity — the scale-honest shape: exact-dup
+    clusters collapse FIRST (bucket-hash combine on the 64-bit ahash:
+    count + min image_id per signature, so the giant identical-image
+    clusters a web corpus always has never reach pair emission), then
+    banded LSH over the distinct signatures (8 bands of 8 bits — EXACT
+    for hamming <= 7 by pigeonhole) with XOR-popcount verify
+    (stages/dedup.hamming_dup_pairs).  The image-payload analogue of
+    the reference's name+location dedup (indexer.go:582-618).  All-int
+    output: (id_a, id_b, hamming, n_a, n_b), ids = each cluster's min
+    image_id, pairs ordered id_a < id_b."""
+    from ..stages import dedup, images
+    from ..stages.agg import bucketed_group_apply
+
+    ah = _task_stage(_key_images(sf_dir, "part", "p_partkey"),
+                     images.AverageHashInt, "q/ahashint") \
+        .select_columns(["image_id", "ahash_int"])
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("ahash_int", sort=False)
+                 .agg(rep_id=("image_id", "min"),
+                      n_images=("image_id", "size"))
+                 .reset_index())
+
+    sigs = bucketed_group_apply(ah, ["ahash_int"], collapse, n_buckets=32)
+    pairs = dedup.hamming_dup_pairs(sigs, id_col="rep_id",
+                                    sig_col="ahash_int", max_hamming=7,
+                                    n_bands=8, carry_cols=["n_images"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"n_images_a": "n_a", "n_images_b": "n_b"})
+        b["n_a"] = b["n_a"].astype(np.int64)
+        b["n_b"] = b["n_b"].astype(np.int64)
+        return b[["id_a", "id_b", "hamming", "n_a", "n_b"]]
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+SQL_PHASH_NEAR_PAIRS = f"""
+WITH ah AS ({SQL_IMAGE_AHASH}),
+sig AS (SELECT ahash_int AS sig, MIN(image_id) AS rep,
+               COUNT(*) AS n
+        FROM ah GROUP BY 1)
+SELECT a.rep AS id_a, b.rep AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+       a.n AS n_a, b.n AS n_b
+FROM sig a JOIN sig b ON a.rep < b.rep
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
+"""
+
+
 def q_image_tile_pipeline(sf_dir: str):
     """The north-rule flagship (tile assignment + PIP join + coarse
     partition key) over key-derived REAL-payload images — SQL-oracled
@@ -2506,6 +2558,7 @@ def registry():
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
         "image_decode_stats": (q_image_decode_stats, SQL_IMAGE_DECODE_STATS),
         "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
+        "phash_near_pairs": (q_phash_near_pairs, SQL_PHASH_NEAR_PAIRS),
         "image_resize_stats": (q_image_resize_stats, SQL_IMAGE_RESIZE_STATS),
         "image_embed_sums": (q_image_embed_sums, SQL_IMAGE_EMBED_SUMS),
         "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),

@@ -550,74 +550,105 @@ def simhash_signatures(ds, id_col="doc_id", text_col="text"):
     return ds.map_batches(sig, batch_format="pandas")
 
 
-def simhash_dup_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3,
-                      max_bucket: int | None = 4096):
-    """Near-dup pairs by SimHash: 4-way band blocking (any identical
-    16-bit band -> candidate), exact Hamming verify <= max_hamming.
+def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
+                      max_hamming: int = 3, n_bands: int | None = None,
+                      max_bucket: int | None = 4096, carry_cols=()):
+    """Near-dup pairs on ANY int64 signature column (SimHash, image
+    aHash/pHash, ...) via LSH band blocking: split the 64 bits into
+    `n_bands` contiguous bands; any identical band -> candidate pair;
+    exact XOR-popcount verify keeps hamming <= max_hamming.  EXACT by
+    pigeonhole whenever n_bands >= max_hamming + 1 (a pair differing
+    in <= max_hamming bits cannot differ in every band) — the default.
 
-    HOT-BUCKET guard: a (band, bucket) group of g docs emits O(g^2)
+    HOT-BUCKET guard: a (band, bucket) group of g rows emits O(g^2)
     candidate pairs, and a duplicate-heavy corpus (the point of dedup)
     piles identical signatures into one bucket.  `max_bucket` caps the
     per-group work the same way `jaccard_pairs.max_df` caps hot
     shingles: groups above the cap are dropped (standard LSH practice —
-    an over-full 16-bit bucket is dominated by either boilerplate
+    an over-full bucket is dominated by either boilerplate
     near-identical content, better handled by `exact_dedup` first, or
     band-hash coincidence carrying no signal).  None = no cap (only
     for bounded corpora).  Pair emission is a vectorized self-merge +
-    batch-wide XOR-popcount — no per-group Python loop."""
+    batch-wide XOR-popcount — no per-group Python loop.  `carry_cols`
+    ride along into the output as <col>_a / <col>_b.
 
-    sigs = simhash_signatures(ds, id_col, text_col)
+    Returns (id_a, id_b, hamming, *carry_a/_b), each pair once."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    edges = np.linspace(0, 64, n_bands + 1).astype(np.int64)
+    starts, widths = edges[:-1], np.diff(edges)
+    carry = list(carry_cols)
+    keep_cols = [id_col, sig_col] + carry
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["simhash"].to_numpy().view(np.uint64)
+        s = batch[sig_col].to_numpy().view(np.uint64)
         n = len(batch)
-        return pd.DataFrame({
-            "band": np.repeat(np.arange(4, dtype=np.int64), n),
+        out = {
+            "band": np.repeat(np.arange(n_bands, dtype=np.int64), n),
             "bucket": np.concatenate([
-                ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-                for b in range(4)
+                ((s >> np.uint64(st)) & np.uint64((1 << int(w)) - 1))
+                .astype(np.int64)
+                for st, w in zip(starts, widths)
             ]),
-            "doc_id": np.tile(batch[id_col].to_numpy(), 4),
-            "simhash": np.tile(batch["simhash"].to_numpy(), 4),
-        })
+        }
+        for c in keep_cols:
+            out[c] = np.tile(batch[c].to_numpy(), n_bands)
+        return pd.DataFrame(out)
+
+    out_cols = (["id_a", "id_b", "hamming"]
+                + [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry])
 
     def pairs_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """All (band, bucket) groups in this hash bucket at once: cap
         hot groups, self-merge on the group key (C-level hash join),
         then one batch-wide XOR + unpackbits popcount."""
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                              "id_b": pd.Series([], dtype=np.int64),
-                              "hamming": pd.Series([], dtype=np.int64)})
+        both = g.merge(g.iloc[:0], on=["band", "bucket"],
+                       suffixes=("_a", "_b"))
+        empty = both.assign(hamming=pd.Series([], dtype=np.int64)) \
+                    .rename(columns={f"{id_col}_a": "id_a",
+                                     f"{id_col}_b": "id_b"})[out_cols]
         if len(g) < 2:
             return empty
         if max_bucket is not None:
-            sz = g.groupby(["band", "bucket"], sort=False)["doc_id"] \
+            sz = g.groupby(["band", "bucket"], sort=False)[id_col] \
                   .transform("size")
             g = g[sz.to_numpy() <= max_bucket]
             if len(g) < 2:
                 return empty
         m = g.merge(g, on=["band", "bucket"], suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         if len(m) == 0:
             return empty
-        xor = (m["simhash_a"].to_numpy().view(np.uint64)
-               ^ m["simhash_b"].to_numpy().view(np.uint64))
+        xor = (m[f"{sig_col}_a"].to_numpy().view(np.uint64)
+               ^ m[f"{sig_col}_b"].to_numpy().view(np.uint64))
         ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1) \
                 .sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": m["doc_id_a"].to_numpy()[keep],
-                             "id_b": m["doc_id_b"].to_numpy()[keep],
-                             "hamming": ham[keep]})
+        m = m.loc[keep].rename(columns={f"{id_col}_a": "id_a",
+                                        f"{id_col}_b": "id_b"})
+        m["hamming"] = ham[keep]
+        return m[out_cols]
 
     from .agg import bucketed_group_apply
 
     cand = bucketed_group_apply(
-        sigs.map_batches(band_rows, batch_format="pandas"),
+        ds.map_batches(band_rows, batch_format="pandas"),
         ["band", "bucket"], pairs_hash_bucket,
     )
     return bucketed_group_apply(
         cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
     )
+
+
+def simhash_dup_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3,
+                      max_bucket: int | None = 4096):
+    """Near-dup pairs by SimHash: 4-way band blocking (any identical
+    16-bit band -> candidate), exact Hamming verify <= max_hamming —
+    `hamming_dup_pairs` over `simhash_signatures`."""
+    sigs = simhash_signatures(ds, id_col, text_col)
+    return hamming_dup_pairs(sigs, id_col="doc_id", sig_col="simhash",
+                             max_hamming=max_hamming, n_bands=4,
+                             max_bucket=max_bucket)
 
 
 # ---------------------------------------------------------------------------

@@ -177,6 +177,41 @@ class TestJaccardAndMinhash:
         # the capped hot class emits no pairs
         assert all(a >= 20000 for a, _ in pairs)
 
+    def test_hamming_dup_pairs_exact_by_pigeonhole(self):
+        """Generic int64-signature path (image aHash analogue): with
+        n_bands = max_hamming + 1 every pair within the threshold is
+        found (pigeonhole), verified vs a brute-force O(n^2) oracle;
+        carry_cols ride through as _a/_b."""
+        import itertools
+
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        sigs = rng.integers(0, 2**63, size=80, dtype=np.int64)
+        # plant close pairs at known hamming distances 0..7
+        for i, d in enumerate(range(8)):
+            base = sigs[i]
+            flip = np.int64(0)
+            for b in rng.choice(64, size=d, replace=False):
+                flip ^= np.int64(1) << np.int64(int(b))
+            sigs = np.append(sigs, base ^ flip)
+        ids = np.arange(len(sigs), dtype=np.int64)
+        df = pd.DataFrame({"rep_id": ids, "sig": sigs,
+                           "n": ids % 5 + 1})
+        got = dedup.hamming_dup_pairs(
+            rd.from_pandas(df).repartition(3), id_col="rep_id",
+            sig_col="sig", max_hamming=7, n_bands=8,
+            carry_cols=["n"]).to_pandas()
+        want = set()
+        u = sigs.view(np.uint64)
+        for a, b in itertools.combinations(range(len(sigs)), 2):
+            if bin(int(u[a] ^ u[b])).count("1") <= 7:
+                want.add((min(a, b), max(a, b)))
+        assert set(zip(got["id_a"], got["id_b"])) == want
+        assert {"n_a", "n_b"} <= set(got.columns)
+        m = got.merge(df.rename(columns={"rep_id": "id_a"}), on="id_a")
+        assert (m["n_a"] == m["n"]).all()
+
     def test_cc_labels_planted_components(self):
         """Distributed min-label propagation: a 7-node chain (needs
         multiple propagation rounds), a triangle, an isolated edge."""
