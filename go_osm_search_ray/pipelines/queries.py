@@ -2186,6 +2186,72 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 7
 """
 
 
+def q_phash_dedup_keep(sf_dir: str):
+    """END-TO-END image dedup: perceptual aHash -> exact-dup collapse
+    to distinct signatures (rep = min numeric image key per sig) ->
+    banded Hamming LSH pairs over the distinct sigs -> DISTRIBUTED
+    connected components (min-label propagation, dedup.cc_labels) ->
+    keep the component-minimum representative (anti-join against
+    non-root nodes).  The image analogue of near_dedup_keep, with the
+    same recursive-CTE transitive-closure oracle; the image-payload
+    completion of the reference's dedup resolution (indexer.go:582-618).
+    Output: keep_id (int64 image key), one row per surviving image."""
+    from ..stages import dedup, images
+    from ..stages.agg import (bucketed_group_apply,
+                              default_join_partitions, join_safe)
+
+    ah = _task_stage(_key_images(sf_dir, "part", "p_partkey"),
+                     images.AverageHashInt, "q/ahashint") \
+        .select_columns(["image_id", "ahash_int"])
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        # numeric key back out of the 'img<k>' id: CC labels need ints
+        k = g["image_id"].str.slice(3).astype(np.int64)
+        return (pd.DataFrame({"ahash_int": g["ahash_int"], "rep": k})
+                  .groupby("ahash_int", sort=False, as_index=False)["rep"]
+                  .min())
+
+    sigs = bucketed_group_apply(ah, ["ahash_int"], collapse, n_buckets=32)
+    pairs = dedup.hamming_dup_pairs(sigs, id_col="rep",
+                                    sig_col="ahash_int", max_hamming=7,
+                                    n_bands=8)
+
+    n_parts = default_join_partitions()
+    pairs = join_safe(pairs, n_parts).materialize()
+    reps = sigs.map_batches(
+        lambda b: pd.DataFrame({"keep_id": b["rep"].astype(np.int64)}),
+        batch_format="pandas")
+    if pairs.count() == 0:
+        return reps
+    labels = dedup.cc_labels(pairs, num_partitions=n_parts)
+    drop = labels.map_batches(
+        lambda b: b[b["node"] != b["label"]][["node"]],
+        batch_format="pandas")
+    return reps.join(drop, "left_anti", n_parts,
+                     on=("keep_id",), right_on=("node",))
+
+
+SQL_PHASH_DEDUP_KEEP = f"""
+WITH RECURSIVE
+ah AS ({SQL_IMAGE_AHASH}),
+ids AS (SELECT CAST(substr(image_id, 4) AS BIGINT) AS id, ahash_int FROM ah),
+sig AS (SELECT ahash_int AS sig, MIN(id) AS rep FROM ids GROUP BY 1),
+near AS (SELECT a.rep AS id_a, b.rep AS id_b
+         FROM sig a JOIN sig b ON a.rep < b.rep
+         WHERE bit_count(xor(a.sig, b.sig)) <= 7),
+edges AS (SELECT id_a AS a, id_b AS b FROM near
+          UNION ALL SELECT id_b, id_a FROM near),
+walk(node, reach) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+roots AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node)
+SELECT rep AS keep_id FROM sig
+WHERE rep NOT IN (SELECT node FROM roots WHERE root < node)
+"""
+
+
 def q_image_tile_pipeline(sf_dir: str):
     """The north-rule flagship (tile assignment + PIP join + coarse
     partition key) over key-derived REAL-payload images — SQL-oracled
@@ -2559,6 +2625,7 @@ def registry():
         "image_decode_stats": (q_image_decode_stats, SQL_IMAGE_DECODE_STATS),
         "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
         "phash_near_pairs": (q_phash_near_pairs, SQL_PHASH_NEAR_PAIRS),
+        "phash_dedup_keep": (q_phash_dedup_keep, SQL_PHASH_DEDUP_KEEP),
         "image_resize_stats": (q_image_resize_stats, SQL_IMAGE_RESIZE_STATS),
         "image_embed_sums": (q_image_embed_sums, SQL_IMAGE_EMBED_SUMS),
         "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
