@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "rasterize", "vectorize", "tile_pyramid", "events_asof",
     "grouped_quantiles", "sample_hash", "zonal_stats", "range_join",
     "bloom_semijoin", "heavy_hitters", "distance_join",
+    "phash_near_pairs",
 ]
 
 

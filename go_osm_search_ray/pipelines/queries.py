@@ -2289,6 +2289,65 @@ GROUP BY 1, 2, 3
 SQL_IMAGE_TILE = _sql_image_tile()
 
 
+def q_tile_mosaic(sf_dir: str):
+    """Per-tile raster MOSAIC aggregate: decode every image landing in
+    a tile (phash-derived geo key -> tile assignment) and accumulate
+    integer per-channel pixel totals + image count — the raster
+    composite a tile server would render, reduced to its SQL-checkable
+    integer core.  Decode + tile + per-batch pandas pre-aggregate run
+    in ONE pass over each batch (combiner before the shuffle: what
+    moves is <= one row per (batch, tile), never per image), then a
+    bucket-hash two-phase sum combine.  Raster analogue of
+    tile_histogram; tiling per rtree.go:168-205's spatial bucketing."""
+    from .. import codecs, geo
+    from ..stages.agg import two_phase_agg
+
+    imgs = _key_images(sf_dir, "orders", "o_orderkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        sums = np.zeros((n, 3), dtype=np.int64)
+        for i, (blob, fmt) in enumerate(zip(b["bytes"], b["fmt"])):
+            sums[i] = codecs.decode(blob, fmt).astype(np.int64).sum(axis=(0, 1))
+        lat, lon = geo.phash_to_latlon(b["phash"].to_numpy())
+        df = pd.DataFrame({"tile_id": geo.tile_id(lat, lon, TILE_RES),
+                           "n_images": np.ones(n, dtype=np.int64),
+                           "sum_r": sums[:, 0], "sum_g": sums[:, 1],
+                           "sum_b": sums[:, 2]})
+        return df.groupby("tile_id", sort=False, as_index=False).sum()
+
+    return two_phase_agg(imgs, partial, ["tile_id"],
+                         ["n_images", "sum_r", "sum_g", "sum_b"])
+
+
+def _sql_tile_mosaic() -> str:
+    lat0, lon0 = sql_lat("k"), sql_lon("k")
+    return f"""
+WITH keys AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+q AS (SELECT k,
+        FLOOR(LEAST(GREATEST(({lat0}+90.0)/180.0*4294967296.0, 0), 4294967295)) AS hi,
+        FLOOR(LEAST(GREATEST(({lon0}+180.0)/360.0*4294967296.0, 0), 4294967295)) AS lo
+      FROM keys),
+p AS (SELECT k, hi/4294967296.0*180.0 - 90.0 AS lat,
+             lo/4294967296.0*360.0 - 180.0 AS lon FROM q),
+t AS (SELECT k, {sql_tile('lat', 'lon')} AS tile_id FROM p),
+px AS (SELECT k, ux.x AS x, uy.y AS y
+       FROM keys, unnest(range(0, 8)) AS ux(x), unnest(range(0, 8)) AS uy(y)),
+s AS (SELECT k, SUM((k*3 + x*7  + y*11) % 256) AS sr,
+             SUM((k*5 + x*13 + y*3 ) % 256) AS sg,
+             SUM((k*7 + x*11 + y*5 ) % 256) AS sb
+      FROM px GROUP BY k)
+SELECT t.tile_id, COUNT(*) AS n_images,
+       CAST(SUM(s.sr) AS BIGINT) AS sum_r,
+       CAST(SUM(s.sg) AS BIGINT) AS sum_g,
+       CAST(SUM(s.sb) AS BIGINT) AS sum_b
+FROM t JOIN s ON s.k = t.k GROUP BY 1
+"""
+
+
+SQL_TILE_MOSAIC = _sql_tile_mosaic()
+
+
 def q_image_resize_stats(sf_dir: str):
     """Resize stage proven end to end: decode -> nearest-neighbor
     8x8 -> 4x4 -> PNG re-encode -> decode again -> integer channel
@@ -2626,6 +2685,7 @@ def registry():
         "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
         "phash_near_pairs": (q_phash_near_pairs, SQL_PHASH_NEAR_PAIRS),
         "phash_dedup_keep": (q_phash_dedup_keep, SQL_PHASH_DEDUP_KEEP),
+        "tile_mosaic": (q_tile_mosaic, SQL_TILE_MOSAIC),
         "image_resize_stats": (q_image_resize_stats, SQL_IMAGE_RESIZE_STATS),
         "image_embed_sums": (q_image_embed_sums, SQL_IMAGE_EMBED_SUMS),
         "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
