@@ -2567,6 +2567,120 @@ SELECT vec_id, CAST(cid AS BIGINT) AS ivf_bucket FROM a WHERE rn = 1
     return sql
 
 
+def _pq_books(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ training recipe shared by query AND oracle
+    generator: first-200 sample, 4 subspaces x 16 codes, 5 Lloyd
+    iterations (the q_ivf_assign fixed-input technique)."""
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
+    return embed.pq_codebooks(sample, n_sub=4, n_codes=16, iters=5)
+
+
+def q_pq_encode(sf_dir: str):
+    """Product-quantization encoding ORACLED: codebook training stays
+    non-SQL (Lloyd), but the trained codebooks are emitted into the
+    oracle as a VALUES table and the per-subspace argmin code
+    assignment is verified row for row.  This long (vec_id, subspace,
+    code) table is the at-rest form a 10^12-vector corpus stores in
+    place of float embeddings (32x smaller reads)."""
+    books = _pq_books(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embed.pq_encode(ds, books)
+
+
+_PQ_SQL_CACHE: dict = {}
+
+
+def _pq_values(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Codebooks as a VALUES table (sub, code, dim, val); dim GLOBAL
+    1-based, matching embedding[i] indexing."""
+    import os
+
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return None
+    books = _pq_books(sf_dir)
+    n_sub, n_codes, dsub = books.shape
+    return ",".join(
+        f"({s},{c},{s * dsub + j + 1},{float(books[s, c, j])!r})"
+        for s in range(n_sub) for c in range(n_codes) for j in range(dsub)
+    )
+
+
+def _pq_encode_sql(sf_dir: str = "/root/testdata/sf0.01"):
+    if "encode" in _PQ_SQL_CACHE:
+        return _PQ_SQL_CACHE["encode"]
+    values = _pq_values(sf_dir)
+    sql = None if values is None else f"""
+WITH cb(sub, code, dim, val) AS (VALUES {values}),
+e AS (SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, 65)) AS u(i)),
+d AS (SELECT e.vec_id, cb.sub, cb.code,
+             SUM((e.val - cb.val)*(e.val - cb.val)) AS dist
+      FROM e JOIN cb ON cb.dim = e.dim GROUP BY 1, 2, 3),
+a AS (SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM d)
+SELECT vec_id, CAST(sub AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+FROM a WHERE rn = 1
+"""
+    _PQ_SQL_CACHE["encode"] = sql
+    return sql
+
+
+def q_pq_search(sf_dir: str):
+    """ADC top-k search over PQ codes, ORACLED end to end: the oracle
+    re-derives the same code assignment from the VALUES codebooks,
+    computes each query's exact LUT distances in SQL, and ranks by the
+    same (adc ASC, vec_id ASC) order.  Queries = first 5 vectors
+    (fixed input), k=5."""
+    books = _pq_books(sf_dir)
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qn = 5
+    queries = {
+        "query_id": emb["vec_id"].to_pylist()[:qn],
+        "embedding": emb["embedding"].to_pylist()[:qn],
+    }
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embed.pq_topk(ds, books, queries, k=5).to_pandas()
+    return _round6(out[["query_id", "rank", "vec_id", "adc"]], ["adc"])
+
+
+def _pq_search_sql(sf_dir: str = "/root/testdata/sf0.01"):
+    if "search" in _PQ_SQL_CACHE:
+        return _PQ_SQL_CACHE["search"]
+    values = _pq_values(sf_dir)
+    sql = None if values is None else f"""
+WITH cb(sub, code, dim, val) AS (VALUES {values}),
+e AS (SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, 65)) AS u(i)),
+d AS (SELECT e.vec_id, cb.sub, cb.code,
+             SUM((e.val - cb.val)*(e.val - cb.val)) AS dist
+      FROM e JOIN cb ON cb.dim = e.dim GROUP BY 1, 2, 3),
+a AS (SELECT vec_id, sub, code, dist,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM d),
+codes AS (SELECT vec_id, sub, code FROM a WHERE rn = 1),
+lut AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+               SUM((q.val - cb.val)*(q.val - cb.val)) AS dist
+        FROM e q JOIN cb ON cb.dim = q.dim
+        WHERE q.vec_id < 5 GROUP BY 1, 2, 3),
+adc AS (SELECT l.query_id, c.vec_id, SUM(l.dist) AS adc
+        FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+        GROUP BY 1, 2),
+r AS (SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rank
+      FROM adc)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       round(adc, 6) AS adc
+FROM r WHERE rank <= 5
+"""
+    _PQ_SQL_CACHE["search"] = sql
+    return sql
+
+
 def q_ivf_search(sf_dir: str):
     """IVF probing search at FULL probe (nprobe = n_centroids): the
     recall-1 configuration is exactly brute-force cosine top-k, so it
@@ -2645,6 +2759,8 @@ def registry():
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
         "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),
         "ivf_search": (q_ivf_search, SQL_EMBEDDING_KNN),
+        "pq_encode": (q_pq_encode, _pq_encode_sql()),
+        "pq_search": (q_pq_search, _pq_search_sql()),
         # relational coverage
         "pricing_summary": (q_pricing_summary, SQL_PRICING),
         "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),

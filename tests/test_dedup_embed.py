@@ -404,3 +404,51 @@ class TestIVFSearch:
         pd.testing.assert_frame_equal(
             a[["query_id", "rank", "vec_id"]], b[["query_id", "rank", "vec_id"]]
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPQ:
+    def test_encode_matches_numpy_argmin(self):
+        import ray.data as rd
+
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().head(100)
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        books = embed.pq_codebooks(m[:50], n_sub=4, n_codes=8, iters=3)
+        ds = rd.from_pandas(df[["vec_id", "embedding"]]).repartition(3)
+        got = (embed.pq_encode(ds, books).to_pandas()
+               .pivot(index="vec_id", columns="subspace", values="code")
+               .sort_index())
+        dsub = m.shape[1] // 4
+        for s in range(4):
+            x = m[:, s * dsub:(s + 1) * dsub]
+            d2 = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            want = d2.argmin(1)
+            np.testing.assert_array_equal(
+                got[s].to_numpy(),
+                want[np.argsort(df["vec_id"].to_numpy())])
+
+    def test_zero_reconstruction_error_is_exact_l2(self):
+        """Codebooks that span the corpus (every distinct subvector is
+        its own code) give ADC == exact squared L2, so pq_topk must
+        equal the brute-force L2 ranking exactly."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        # 12 well-separated base vectors in 8-d; codebooks trained ON
+        # the full corpus with n_codes = n_points
+        m = rng.integers(-50, 50, size=(12, 8)).astype(np.float64) * 10
+        ids = np.arange(12, dtype=np.int64)
+        books = embed.pq_codebooks(m, n_sub=2, n_codes=12, iters=10)
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+        queries = {"query_id": [0, 5], "embedding": [m[0], m[5]]}
+        got = (embed.pq_topk(rd.from_pandas(df).repartition(3), books,
+                             queries, k=4)
+               .to_pandas().sort_values(["query_id", "rank"])
+               .reset_index(drop=True))
+        for q in (0, 5):
+            d = ((m - m[q]) ** 2).sum(1)
+            order = np.lexsort((ids, d))[:4]
+            sub = got[got["query_id"] == q]
+            np.testing.assert_array_equal(sub["vec_id"].to_numpy(), ids[order])
+            np.testing.assert_allclose(sub["adc"].to_numpy(), d[order],
+                                       atol=1e-6)
