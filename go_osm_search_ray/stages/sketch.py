@@ -216,6 +216,10 @@ def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
     from .knn import cached_state
 
     m_bits, k = bloom_params(n_keys_hint, fpp)
+    # the key side is consumed TWICE (bitmap build + verify join) and
+    # is the small side by assumption — pin its blocks once instead of
+    # re-running its upstream read+filter lineage
+    keys_ds = keys_ds.materialize()
     bits = bloom_build(keys_ds, build_key, m_bits, k)
     ref = ray.put(bits)
 
