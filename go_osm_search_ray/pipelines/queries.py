@@ -313,6 +313,69 @@ FROM r JOIN cells c
 SQL_RASTERIZE = _sql_rasterize()
 
 
+def q_overlap_join(sf_dir: str):
+    """Polygon-polygon OVERLAP join at bbox granularity: nation
+    rectangles x customer-derived rectangles, co-located by coarse
+    covering tiles, exact strict-overlap filter, each pair emitted
+    once in its intersection-corner tile (tiling.rect_overlap_join).
+    The 2-D overlay analogue of the region R-tree probe
+    (indexer.go:1035-1061); output (id_a, id_b, overlap_deg2)."""
+    import ray.data as rd
+
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    keys = np.sort(np.asarray(nat["n_nationkey"].to_pylist(), dtype=np.int64))
+    a = rd.from_pandas(pd.DataFrame({
+        "id": keys,
+        "lat0": (keys % 5) * 36.0 - 90.0,
+        "lat1": (keys % 5) * 36.0 - 52.0,
+        "lon0": (keys // 5) * 72.0 - 180.0,
+        "lon1": (keys // 5) * 72.0 - 106.0,
+    }))
+
+    def cust_rects(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c_custkey"].to_numpy().astype(np.int64)
+        clat = (((c * 31 + 7) * 9973) % 18000 + 0.5) / 100.0 - 90.0
+        clon = (((c * 37 + 11) * 7919) % 36000 + 0.5) / 100.0 - 180.0
+        hlat = 2.0 + (c % 7)
+        hlon = 3.0 + (c % 5)
+        return pd.DataFrame({
+            "id": c,
+            "lat0": np.maximum(clat - hlat, -90.0),
+            "lat1": np.minimum(clat + hlat, 90.0),
+            "lon0": np.maximum(clon - hlon, -180.0),
+            "lon1": np.minimum(clon + hlon, 180.0),
+        })
+
+    b_ds = read_table(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(cust_rects, batch_format="pandas")
+    out = tiling.rect_overlap_join(a, b_ds, res=4)
+    return out.map_batches(lambda b: _round6(b, ["overlap_deg2"]),
+                           batch_format="pandas")
+
+
+SQL_OVERLAP_JOIN = f"""
+WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+                  (n_nationkey%5)*36.0-90.0   AS lat0,
+                  (n_nationkey%5)*36.0-52.0   AS lat1,
+                  (n_nationkey//5)*72.0-180.0 AS lon0,
+                  (n_nationkey//5)*72.0-106.0 AS lon1
+           FROM nation),
+b AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+             GREATEST({sql_lat('c_custkey*31+7')} - (2.0 + c_custkey%7), -90.0) AS lat0,
+             LEAST({sql_lat('c_custkey*31+7')} + (2.0 + c_custkey%7), 90.0) AS lat1,
+             GREATEST({sql_lon('c_custkey*37+11')} - (3.0 + c_custkey%5), -180.0) AS lon0,
+             LEAST({sql_lon('c_custkey*37+11')} + (3.0 + c_custkey%5), 180.0) AS lon1
+      FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       round((LEAST(a.lat1, b.lat1) - GREATEST(a.lat0, b.lat0))
+             * (LEAST(a.lon1, b.lon1) - GREATEST(a.lon0, b.lon0)), 6)
+         AS overlap_deg2
+FROM a JOIN b
+  ON GREATEST(a.lat0, b.lat0) < LEAST(a.lat1, b.lat1)
+ AND GREATEST(a.lon0, b.lon0) < LEAST(a.lon1, b.lon1)
+"""
+
+
 def q_vectorize(sf_dir: str):
     """RASTER -> VECTOR: per-cell order-point counts thresholded and
     emitted as cell rectangle geometries (occupied-region extraction at
@@ -564,6 +627,56 @@ r AS (SELECT point_id, lat, lon,
              row_number() OVER (PARTITION BY point_id ORDER BY seq DESC) AS rn
       FROM ev)
 SELECT point_id, lat, lon FROM r WHERE rn = 1
+"""
+
+
+def q_track_lengths(sf_dir: str):
+    """Per-entity TRAJECTORY length: order each tracked point's event
+    stream by seq, haversine each consecutive hop, sum per entity.
+    The keyed-lag shape (same as the geofence prev-position join,
+    fence_index.go:50-73) done scale-safe: bucket-hash on point_id ->
+    ONE vectorized sort + shift + masked haversine + groupby-sum per
+    bucket — no per-group Python dispatch over an unbounded entity
+    space, and every entity's rows land wholly in its hash bucket so
+    the per-bucket aggregate is complete."""
+    from ..stages.agg import bucketed_group_apply
+
+    ev = fence_events(sf_dir)
+
+    def bucket_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["point_id", "seq"], kind="mergesort")
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        pid = g["point_id"].to_numpy()
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = pid[1:] == pid[:-1]
+        d = np.zeros(n)
+        if same.any():
+            plat = np.roll(lat, 1)[same]
+            plon = np.roll(lon, 1)[same]
+            d[same] = geo.haversine_km(plat, plon, lat[same], lon[same])
+        out = pd.DataFrame({"point_id": pid,
+                            "hop": same.astype(np.int64), "hop_km": d})
+        return out.groupby("point_id", sort=False, as_index=False) \
+                  .agg(n_hops=("hop", "sum"), total_km=("hop_km", "sum"))
+
+    res = bucketed_group_apply(ev, ["point_id"], bucket_lag)
+    return res.map_batches(lambda b: _round6(b, ["total_km"]),
+                           batch_format="pandas")
+
+
+SQL_TRACK_LENGTHS = f"""
+WITH ev AS ({SQL_EVENT_POINTS}),
+l AS (SELECT point_id, seq, lat, lon,
+             lag(lat) OVER (PARTITION BY point_id ORDER BY seq) AS plat,
+             lag(lon) OVER (PARTITION BY point_id ORDER BY seq) AS plon
+      FROM ev)
+SELECT point_id, CAST(COUNT(plat) AS BIGINT) AS n_hops,
+       round(SUM(CASE WHEN plat IS NOT NULL
+                 THEN {sql_haversine('plat', 'plon', 'lat', 'lon')}
+                 ELSE 0.0 END), 6) AS total_km
+FROM l GROUP BY 1
 """
 
 
@@ -2729,6 +2842,7 @@ def registry():
         "pip_join": (q_pip_join, SQL_PIP_JOIN),
         "rasterize": (q_rasterize, SQL_RASTERIZE),
         "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
+        "overlap_join": (q_overlap_join, SQL_OVERLAP_JOIN),
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
         "vectorize": (q_vectorize, SQL_VECTORIZE),
         "knn_join": (q_knn_join, SQL_KNN_JOIN),
@@ -2736,6 +2850,7 @@ def registry():
         "reverse_geocode": (q_reverse_geocode, SQL_REVERSE_GEOCODE),
         "geofence_transitions": (q_geofence_transitions, SQL_GEOFENCE),
         "fence_last_positions": (q_fence_last_positions, SQL_LAST_POSITIONS),
+        "track_lengths": (q_track_lengths, SQL_TRACK_LENGTHS),
         # text / search
         "postings_pairs": (q_postings_pairs, SQL_POSTINGS),
         "term_df": (q_term_df, SQL_TERM_DF),

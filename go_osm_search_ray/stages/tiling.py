@@ -214,3 +214,84 @@ def vectorize_tiles(points_ds, res: int = geo.DEFAULT_TILE_RES,
         return b[["tile_id", "n", "lat0", "lat1", "lon0", "lon1"]]
 
     return counts.map_batches(geom, batch_format="pandas")
+
+
+def rect_overlap_join(a_ds, b_ds, res: int = 4,
+                      a_id: str = "id_a", b_id: str = "id_b"):
+    """Distributed 2-D rectangle-OVERLAP join (polygon-polygon overlay
+    at bbox granularity): each rect explodes to the tiles its area
+    touches at coarse `res`, the sides hash-join on tile_id, the exact
+    strict-overlap predicate filters, and every intersecting pair is
+    emitted EXACTLY ONCE — only in the tile containing the
+    intersection's lower-left corner (that corner lies inside both
+    rects, so both covering sets contain its tile; no dedup shuffle).
+
+    Inputs: datasets with (id_col, lat0, lat1, lon0, lon1).  Output:
+    (a_id, b_id, overlap_deg2).  Scale shape: shuffle volume = rect
+    count x covering-tile count (pick res so typical rects span O(1)
+    tiles); per-tile work is a local vectorized merge — the 2-D
+    analogue of the interval join's bucket replication.
+    """
+    import pandas as pd
+
+    from .agg import default_join_partitions, join_safe
+
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+
+    def cover(prefix):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            cols = {f"{prefix}{c}": [] for c in
+                    ["id", "lat0", "lat1", "lon0", "lon1"]}
+            tiles_out = []
+            for row in b.itertuples():  # rects per batch are few
+                y_lo = min(max(int(np.floor((row.lat0 + 90.0) / dlat)), 0), n - 1)
+                y_hi = min(max(int(np.floor((row.lat1 + 90.0) / dlat)), 0), n - 1)
+                x_lo = min(max(int(np.floor((row.lon0 + 180.0) / dlon)), 0), n - 1)
+                x_hi = min(max(int(np.floor((row.lon1 + 180.0) / dlon)), 0), n - 1)
+                ys = np.arange(y_lo, y_hi + 1, dtype=np.int64)
+                xs = np.arange(x_lo, x_hi + 1, dtype=np.int64)
+                tiles = (ys[:, None] * n + xs[None, :]).ravel()
+                tiles_out.append(tiles)
+                m = len(tiles)
+                cols[f"{prefix}id"].append(np.full(m, row.id, dtype=np.int64))
+                for c in ["lat0", "lat1", "lon0", "lon1"]:
+                    cols[f"{prefix}{c}"].append(
+                        np.full(m, getattr(row, c), dtype=np.float64))
+            if not tiles_out:
+                out = pd.DataFrame({k: pd.Series([], dtype=np.float64)
+                                    for k in cols})
+                out[f"{prefix}id"] = out[f"{prefix}id"].astype(np.int64)
+                out["tile_id"] = pd.Series([], dtype=np.int64)
+                return out
+            out = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+            out["tile_id"] = np.concatenate(tiles_out)
+            return out
+        return fn
+
+    n_part = default_join_partitions()
+    a = join_safe(a_ds.map_batches(cover("a"), batch_format="pandas"), n_part)
+    b = join_safe(b_ds.map_batches(cover("b"), batch_format="pandas"), n_part)
+    joined = a.join(b, "inner", n_part, on=("tile_id",))
+
+    def finish(m: pd.DataFrame) -> pd.DataFrame:
+        if len(m) == 0:
+            return pd.DataFrame({a_id: pd.Series([], dtype=np.int64),
+                                 b_id: pd.Series([], dtype=np.int64),
+                                 "overlap_deg2": pd.Series([], dtype=np.float64)})
+        ilat0 = np.maximum(m["alat0"].to_numpy(), m["blat0"].to_numpy())
+        ilat1 = np.minimum(m["alat1"].to_numpy(), m["blat1"].to_numpy())
+        ilon0 = np.maximum(m["alon0"].to_numpy(), m["blon0"].to_numpy())
+        ilon1 = np.minimum(m["alon1"].to_numpy(), m["blon1"].to_numpy())
+        keep = (ilat0 < ilat1) & (ilon0 < ilon1)
+        # exactly-once: only the tile holding the intersection corner
+        ty = np.clip(np.floor((ilat0 + 90.0) / dlat).astype(np.int64), 0, n - 1)
+        tx = np.clip(np.floor((ilon0 + 180.0) / dlon).astype(np.int64), 0, n - 1)
+        keep &= (ty * n + tx) == m["tile_id"].to_numpy()
+        return pd.DataFrame({
+            a_id: m["aid"].to_numpy()[keep],
+            b_id: m["bid"].to_numpy()[keep],
+            "overlap_deg2": ((ilat1 - ilat0) * (ilon1 - ilon0))[keep],
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")

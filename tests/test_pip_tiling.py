@@ -2,6 +2,7 @@
 oracle (the reference-oracle strategy of SURVEY.md §5)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -266,3 +267,52 @@ class TestRasterVector:
         assert row["n"] == 5
         assert row["lat0"] <= 1.0 <= row["lat1"]
         assert row["lon0"] <= 1.0 <= row["lon1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRectOverlapJoin:
+    def test_matches_brute_force_with_boundary_alignments(self):
+        """Random rects (some edges exactly ON res-4 tile boundaries)
+        vs an O(n*m) numpy oracle: every intersecting pair exactly
+        once, correct overlap area."""
+        import itertools
+
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+
+        def rects(n, seed_ids):
+            lat0 = rng.uniform(-90, 78, n)
+            lon0 = rng.uniform(-180, 156, n)
+            h = rng.uniform(0.5, 30, n)
+            w = rng.uniform(0.5, 40, n)
+            # snap a third of the edges onto tile boundaries (res 4:
+            # dlat 11.25, dlon 22.5) to exercise the corner-tile dedup
+            snap = rng.random(n) < 0.33
+            lat0[snap] = np.floor(lat0[snap] / 11.25) * 11.25
+            lon0[snap] = np.floor(lon0[snap] / 22.5) * 22.5
+            return pd.DataFrame({
+                "id": seed_ids,
+                "lat0": lat0, "lat1": np.minimum(lat0 + h, 90.0),
+                "lon0": lon0, "lon1": np.minimum(lon0 + w, 180.0),
+            })
+
+        a = rects(40, np.arange(40, dtype=np.int64))
+        b = rects(60, np.arange(60, dtype=np.int64))
+        got = tiling.rect_overlap_join(
+            rd.from_pandas(a).repartition(3),
+            rd.from_pandas(b).repartition(4), res=4).to_pandas()
+        want = {}
+        for i, j in itertools.product(range(40), range(60)):
+            ilat0 = max(a["lat0"][i], b["lat0"][j])
+            ilat1 = min(a["lat1"][i], b["lat1"][j])
+            ilon0 = max(a["lon0"][i], b["lon0"][j])
+            ilon1 = min(a["lon1"][i], b["lon1"][j])
+            if ilat0 < ilat1 and ilon0 < ilon1:
+                want[(a["id"][i], b["id"][j])] = (ilat1 - ilat0) * (ilon1 - ilon0)
+        # exactly once per pair
+        assert len(got) == len(got.drop_duplicates(["id_a", "id_b"]))
+        got_map = dict(zip(zip(got["id_a"], got["id_b"]), got["overlap_deg2"]))
+        assert set(got_map) == set(want)
+        for k in want:
+            assert abs(got_map[k] - want[k]) < 1e-9
