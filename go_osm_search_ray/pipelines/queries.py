@@ -680,6 +680,46 @@ FROM l GROUP BY 1
 """
 
 
+def q_quality_filter(sf_dir: str):
+    """Corpus-RELATIVE quality gate — the 'drop the low-quality half'
+    LLM-data pipeline: pass 1 streams the corpus into a mergeable
+    integer histogram of the length signal (shuffle = O(distinct
+    values), never the rows), the exact median falls out of the
+    cumulative cut (percentile_disc semantics), and pass 2 streams
+    again filtering vectorized against the broadcast scalar.  Two
+    streaming passes by design: a 10^12-row corpus can't materialize
+    even a slim projection, but a histogram always fits."""
+    from ..stages.agg import quantile_disc_from_histogram, two_phase_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n_chars = b["text"].str.len().astype(np.int64)
+        return (pd.DataFrame({"n_chars": n_chars})
+                .groupby("n_chars", sort=False).size().reset_index(name="n"))
+
+    hist = two_phase_agg(ds, partial, ["n_chars"], ["n"],
+                         combine="shuffle").to_pandas()
+    hist = hist.sort_values("n_chars", kind="mergesort")
+    med = int(quantile_disc_from_histogram(
+        hist["n_chars"].to_numpy(), hist["n"].to_numpy(), 0.5))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        n_chars = b["text"].str.len().astype(np.int64)
+        out = pd.DataFrame({"doc_id": b["doc_id"], "n_chars": n_chars})
+        return out[n_chars >= med]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+SQL_QUALITY_FILTER = """
+WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+m AS (SELECT quantile_disc(n_chars, 0.5) AS med FROM s)
+SELECT s.doc_id, s.n_chars FROM s, m WHERE s.n_chars >= m.med
+"""
+
+
 # ---------------------------------------------------------------------------
 # text / search queries
 
@@ -2861,6 +2901,7 @@ def registry():
         "ngram_bigrams": (q_ngram_bigrams, SQL_BIGRAMS),
         "vocab_min_freq": (q_vocab_min_freq, SQL_VOCAB),
         "quality_signals": (q_quality_signals, SQL_QUALITY),
+        "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         # dedup
