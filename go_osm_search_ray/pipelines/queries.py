@@ -1195,6 +1195,56 @@ WHERE n.cnt <= 4 OR (r.wn = 4 AND r.rn = 1)
 """
 
 
+def q_fingerprint_pairs(sf_dir: str):
+    """MOSS-style match detection end to end: winnowing fingerprints
+    -> fingerprint-key shuffle (max_df boilerplate cap) -> pairs
+    sharing >= 2 distinct selected fingerprints.  The
+    plagiarism-detection companion to the Jaccard/MinHash dedup legs,
+    oracled by a self-join over the digit-exact fingerprint SQL."""
+    fp = text.winnow_fingerprints(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    return dedup.fingerprint_pairs(fp, min_common=2, max_df=50)
+
+
+SQL_FINGERPRINT_PAIRS = f"""
+WITH fp AS ({SQL_FINGERPRINTS}),
+df AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+f AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN df USING (fingerprint))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common
+FROM f a JOIN f b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_sample_stratified(sf_dir: str):
+    """STRATIFIED deterministic sampling: a per-stratum rate applied
+    through the same Knuth multiplicative hash as sample_hash — the
+    class-balancing split a training pipeline uses (downsample the
+    majority classes, keep the rare ones), reproducible with no RNG
+    state and no shuffle (pure per-row filter)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    rates = {"click": 50, "view": 300, "purchase": 200,
+             "signup": 100, "error": 150}
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["event_id"].to_numpy(np.int64)
+        h = (k * 2654435761) % 1000
+        cut = b["event_type"].map(rates).fillna(150).to_numpy(np.int64)
+        return b[h < cut][["event_id", "event_type"]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT event_id, event_type FROM events
+WHERE (CAST(event_id AS BIGINT) * 2654435761) % 1000 <
+      CASE event_type WHEN 'click' THEN 50 WHEN 'view' THEN 300
+                      WHEN 'purchase' THEN 200 WHEN 'signup' THEN 100
+                      ELSE 150 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding queries
 
@@ -2911,6 +2961,8 @@ def registry():
         "near_dedup_minhash": (q_near_dedup_minhash, SQL_NEAR_DEDUP_KEEP),
         "cc_labels": (q_cc_labels, SQL_CC_LABELS),
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+        "fingerprint_pairs": (q_fingerprint_pairs, SQL_FINGERPRINT_PAIRS),
+        "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
         # embeddings
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
         "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),

@@ -731,3 +731,40 @@ def jaccard_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     sh_rows = ds.map_batches(shingle_rows, batch_format="pandas")
     pairs = bucketed_group_apply(sh_rows, ["shingle"], pairs_bucket)
     return bucketed_group_apply(pairs, ["id_a", "id_b"], finalize_bucket)
+
+
+def fingerprint_pairs(fp_ds, id_col="doc_id", fp_col="fingerprint",
+                      min_common: int = 2, max_df: int | None = None):
+    """MOSS-style match detection over winnowing fingerprints: all
+    (id_a < id_b) pairs sharing >= `min_common` DISTINCT selected
+    fingerprints (Schleimer et al.'s local-match guarantee makes this
+    catch any shared run of >= window+k-1 tokens).  Same scale shape
+    as `jaccard_pairs`: shuffle on the fingerprint key, `max_df` cap
+    drops boilerplate fingerprints before the O(g^2) pair emission,
+    vectorized self-merge + bucket-hash two-phase pair count."""
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None and len(g):
+            vc = g[fp_col].value_counts()
+            hot = vc[vc > max_df].index
+            if len(hot):
+                g = g[~g[fp_col].isin(hot)]
+        m = g.merge(g, on=fp_col, suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_a"].to_numpy(),
+            "id_b": m[f"{id_col}_b"].to_numpy(),
+            "common_partial": np.ones(len(m), dtype=np.int64),
+        })
+
+    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["id_a", "id_b"], sort=False, as_index=False)
+                ["common_partial"].sum()
+                .rename(columns={"common_partial": "n_common"}))
+        agg["n_common"] = agg["n_common"].astype(np.int64)
+        return agg[agg["n_common"] >= min_common]
+
+    from .agg import bucketed_group_apply
+
+    pairs = bucketed_group_apply(fp_ds, [fp_col], pairs_bucket)
+    return bucketed_group_apply(pairs, ["id_a", "id_b"], finalize_bucket)
