@@ -630,6 +630,52 @@ SELECT point_id, lat, lon FROM r WHERE rn = 1
 """
 
 
+def q_zorder_assign(sf_dir: str):
+    """Space-filling-curve layout key: interleave the res-8 grid bits
+    of (row, col) into a Morton/Z-order key — the locality-preserving
+    partition key a cell-sharded corpus writes with so that spatially
+    close tiles land in the same or adjacent file ranges (range scans
+    over a bbox touch O(perimeter) key runs instead of scattering).
+    Pure per-row bit math, vectorized; SQL mirrors every bit term."""
+    res = 8
+    n = 1 << res
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        tiling.derive_key_latlon("o_orderkey"), batch_format="pyarrow")
+
+    def z(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lon = b["lon"].to_numpy()
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        zk = np.zeros(len(y), dtype=np.int64)
+        for bit in range(res):
+            zk |= ((y >> bit) & 1) << (2 * bit + 1)
+            zk |= ((x >> bit) & 1) << (2 * bit)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "zorder": pa.array(zk, pa.int64())})
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+def _sql_zorder(res: int = 8) -> str:
+    n = 1 << res
+    lat, lon = sql_lat("o_orderkey"), sql_lon("o_orderkey")
+    bits = " + ".join(
+        f"((y >> {b}) & 1) * {1 << (2 * b + 1)} + ((x >> {b}) & 1) * {1 << (2 * b)}"
+        for b in range(res)
+    )
+    return f"""
+WITH g AS (SELECT o_orderkey,
+        LEAST(GREATEST(CAST(FLOOR(({lat}+90.0)/180.0*{n}) AS BIGINT),0),{n - 1}) AS y,
+        LEAST(GREATEST(CAST(FLOOR(({lon}+180.0)/360.0*{n}) AS BIGINT),0),{n - 1}) AS x
+    FROM orders)
+SELECT o_orderkey, CAST({bits} AS BIGINT) AS zorder FROM g
+"""
+
+
+SQL_ZORDER = _sql_zorder()
+
+
 def q_track_lengths(sf_dir: str):
     """Per-entity TRAJECTORY length: order each tracked point's event
     stream by seq, haversine each consecutive hop, sum per entity.
@@ -2934,6 +2980,7 @@ def registry():
         "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
         "overlap_join": (q_overlap_join, SQL_OVERLAP_JOIN),
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
+        "zorder_assign": (q_zorder_assign, SQL_ZORDER),
         "vectorize": (q_vectorize, SQL_VECTORIZE),
         "knn_join": (q_knn_join, SQL_KNN_JOIN),
         "knn_radius_filter": (q_knn_radius_filter, SQL_KNN_RADIUS),
