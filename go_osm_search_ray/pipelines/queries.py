@@ -2473,9 +2473,9 @@ def q_phash_dedup_keep(sf_dir: str):
     if pairs.count() == 0:
         return reps
     labels = dedup.cc_labels(pairs, num_partitions=n_parts)
-    drop = labels.map_batches(
+    drop = join_safe(labels.map_batches(
         lambda b: b[b["node"] != b["label"]][["node"]],
-        batch_format="pandas")
+        batch_format="pandas"), n_parts)
     return reps.join(drop, "left_anti", n_parts,
                      on=("keep_id",), right_on=("node",))
 

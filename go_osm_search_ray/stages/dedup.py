@@ -359,15 +359,23 @@ def minhash_lsh_pairs(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
     return jb.map_batches(verify, batch_format="pandas")
 
 
-def cc_labels(pairs_ds, num_partitions: int | None = None, max_iters: int = 25):
+def cc_labels(pairs_ds, num_partitions: int | None = None, max_iters: int = 25,
+              task_threshold: int = 2_000_000):
     """Distributed connected components over an edge Dataset
     (id_a, id_b) by iterated min-label propagation: every node starts
     at label = min(node, neighbors); each round a node's label becomes
     the min over its own label and its neighbors' labels (hash join of
-    edges with labels + bucket-hash min-combine).  Labels are monotone
+    edges with labels + bucket-hash min-combine) AND shortcuts through
+    its label's own label (pointer jumping — path halving makes long
+    chains converge in O(log diameter) rounds).  Labels are monotone
     non-increasing, so the per-round label SUM strictly decreases until
-    the fixpoint — convergence in O(component diameter) rounds (dup
-    components are overwhelmingly small cliques: 1-2 rounds).
+    the fixpoint.
+
+    Size-adaptive: an edge set below `task_threshold` (after the
+    materializing shuffle, so the count is free) runs union-find in a
+    SINGLE Ray task — the fixpoint loop pays several shuffles per
+    round, which only amortizes when the edge list is too big for one
+    worker.  Either path keeps all per-edge state off the driver.
 
     Returns a Dataset of (node, label) where label = the component's
     minimum node id.  Nothing touches the driver except the per-round
@@ -392,6 +400,39 @@ def cc_labels(pairs_ds, num_partitions: int | None = None, max_iters: int = 25):
         pairs_ds.map_batches(sym, batch_format="pandas"), num_partitions
     ).materialize()
 
+    if edges.count() <= task_threshold:
+        import ray
+        import ray.data as rd
+
+        @ray.remote
+        def uf_task(*blocks) -> pd.DataFrame:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for blk in blocks:
+                df = blk.to_pandas() if hasattr(blk, "to_pandas") else blk
+                for a, b in zip(df["node"].to_numpy(), df["nbr"].to_numpy()):
+                    ra, rb = find(int(a)), find(int(b))
+                    if ra != rb:  # min id becomes the root
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra
+            nodes = list(parent.keys() | {find(x) for x in parent})
+            return pd.DataFrame({
+                "node": np.array(nodes, dtype=np.int64),
+                "label": np.array([find(x) for x in nodes], dtype=np.int64),
+            })
+
+        out = ray.get(uf_task.remote(*edges.to_arrow_refs()))
+        return join_safe(rd.from_pandas(out), num_partitions).materialize()
+
     def min_label(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", sort=False, as_index=False)["label"].min()
 
@@ -414,8 +455,25 @@ def cc_labels(pairs_ds, num_partitions: int | None = None, max_iters: int = 25):
                 batch_format="pandas",
             )
         )
+        # POINTER JUMPING (label-of-label shortcut): resolve each
+        # node's label through the label node's own label in the same
+        # round — path-halving turns O(diameter) rounds into
+        # O(log diameter), which is what makes long signature chains
+        # (near-dup hash ladders) converge in a handful of rounds.
+        hops = (
+            join_safe(labels.map_batches(
+                lambda b: pd.DataFrame({"orig": b["node"], "hop": b["label"]}),
+                batch_format="pandas",
+            ), num_partitions)
+            .join(labels, "inner", num_partitions,
+                  on=("hop",), right_on=("node",))
+            .map_batches(
+                lambda b: pd.DataFrame({"node": b["orig"], "label": b["label"]}),
+                batch_format="pandas",
+            )
+        )
         labels = join_safe(bucketed_group_apply(
-            labels.union(msgs), ["node"], min_label
+            labels.union(msgs).union(hops), ["node"], min_label
         ), num_partitions).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
@@ -457,10 +515,10 @@ def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
         if pairs_ds.count() == 0:
             return ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
         labels = cc_labels(pairs_ds, num_partitions=num_partitions)
-        drop = labels.map_batches(
+        drop = join_safe(labels.map_batches(
             lambda b: b[b["node"] != b["label"]][["node"]],
             batch_format="pandas",
-        )  # labels is join_safe-repartitioned, so blocks are uniform
+        ), num_partitions)
         ids = ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
         return ids.join(drop, "left_anti", num_partitions,
                         on=(id_col,), right_on=("node",))

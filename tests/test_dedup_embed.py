@@ -221,12 +221,16 @@ class TestJaccardAndMinhash:
             "id_a": [1, 2, 10, 11, 12, 50, 100, 101, 102, 103, 104, 105],
             "id_b": [2, 3, 11, 12, 13, 51, 101, 102, 103, 104, 105, 106],
         })
-        labels = dedup.cc_labels(rd.from_pandas(pairs).repartition(3)).to_pandas()
-        lab = dict(zip(labels["node"], labels["label"]))
-        assert lab[1] == lab[2] == lab[3] == 1
-        assert lab[10] == lab[11] == lab[12] == lab[13] == 10
-        assert lab[50] == lab[51] == 50
-        assert all(lab[n] == 100 for n in range(100, 107))
+        # both paths: the single-task union-find fast path (default at
+        # this size) AND the distributed fixpoint loop (forced)
+        for thresh in (2_000_000, 0):
+            labels = dedup.cc_labels(rd.from_pandas(pairs).repartition(3),
+                                     task_threshold=thresh).to_pandas()
+            lab = dict(zip(labels["node"], labels["label"]))
+            assert lab[1] == lab[2] == lab[3] == 1
+            assert lab[10] == lab[11] == lab[12] == lab[13] == 10
+            assert lab[50] == lab[51] == 50
+            assert all(lab[n] == 100 for n in range(100, 107))
 
     def test_near_dedup_driver_flag_matches_distributed(self):
         import ray.data as rd
