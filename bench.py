@@ -48,7 +48,9 @@ BENCH_QUERIES = [
     "rasterize", "vectorize", "tile_pyramid", "events_asof",
     "grouped_quantiles", "sample_hash", "zonal_stats", "range_join",
     "bloom_semijoin", "heavy_hitters", "distance_join",
-    "phash_near_pairs",
+    "phash_near_pairs", "phash_dedup_keep", "tile_mosaic",
+    "overlap_join", "track_lengths", "zorder_assign",
+    "quality_filter", "pq_search",
 ]
 
 
