@@ -630,6 +630,60 @@ SELECT point_id, lat, lon FROM r WHERE rn = 1
 """
 
 
+def q_focal_sum(sf_dir: str):
+    """FOCAL (neighborhood) raster operator — 3x3 moving-window sum of
+    per-tile point counts, the map-algebra smoothing kernel: each
+    batch pre-aggregates its tile counts, then every (tile, n) partial
+    re-emits itself to its <= 9 in-grid neighbors (no wrap across the
+    antimeridian/poles — edge tiles just have smaller windows, the
+    standard focal edge rule) and a bucket-hash two-phase sum combines
+    per CENTER tile.  Shuffle volume is O(9 x occupied tiles), never
+    the points.  Output: (tile_id, focal_n) for every tile whose
+    window contains any point."""
+    from ..stages.agg import two_phase_agg
+
+    res = 6
+    n = 1 << res
+    pts = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        tiling.derive_key_latlon("o_orderkey"), batch_format="pyarrow")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = geo.tile_id(b["lat"].to_numpy(), b["lon"].to_numpy(), res)
+        cnt = pd.Series(t).value_counts()
+        tiles = cnt.index.to_numpy(np.int64)
+        c = cnt.to_numpy(np.int64)
+        y, x = tiles // n, tiles % n
+        out_t, out_c = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ny, nx = y + dy, x + dx
+                ok = (ny >= 0) & (ny < n) & (nx >= 0) & (nx < n)
+                out_t.append((ny[ok] * n + nx[ok]))
+                out_c.append(c[ok])
+        return pd.DataFrame({"tile_id": np.concatenate(out_t),
+                             "focal_n": np.concatenate(out_c)})
+
+    return two_phase_agg(pts, partial, ["tile_id"], ["focal_n"])
+
+
+def _sql_focal(res: int = 6) -> str:
+    n = 1 << res
+    lat, lon = sql_lat("o_orderkey"), sql_lon("o_orderkey")
+    return f"""
+WITH c AS (SELECT {sql_tile(lat, lon, res)} AS t, COUNT(*) AS cnt
+           FROM orders GROUP BY 1),
+nb AS (SELECT (c.t // {n} + dy.dy) * {n} + (c.t % {n} + dx.dx) AS tile_id,
+              c.cnt
+       FROM c, unnest([-1, 0, 1]) AS dy(dy), unnest([-1, 0, 1]) AS dx(dx)
+       WHERE c.t // {n} + dy.dy BETWEEN 0 AND {n - 1}
+         AND c.t % {n} + dx.dx BETWEEN 0 AND {n - 1})
+SELECT tile_id, CAST(SUM(cnt) AS BIGINT) AS focal_n FROM nb GROUP BY 1
+"""
+
+
+SQL_FOCAL_SUM = _sql_focal()
+
+
 def q_zorder_assign(sf_dir: str):
     """Space-filling-curve layout key: interleave the res-8 grid bits
     of (row, col) into a Morton/Z-order key — the locality-preserving
@@ -2981,6 +3035,7 @@ def registry():
         "overlap_join": (q_overlap_join, SQL_OVERLAP_JOIN),
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
         "zorder_assign": (q_zorder_assign, SQL_ZORDER),
+        "focal_sum": (q_focal_sum, SQL_FOCAL_SUM),
         "vectorize": (q_vectorize, SQL_VECTORIZE),
         "knn_join": (q_knn_join, SQL_KNN_JOIN),
         "knn_radius_filter": (q_knn_radius_filter, SQL_KNN_RADIUS),
