@@ -685,3 +685,63 @@ class TestDistanceSelfJoin:
         for (a, b) in list(want)[:50]:
             d = geo.haversine_km(lat[a], lon[a], lat[b], lon[b])
             assert abs(m[(a, b)] - d) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnCellScale:
+    def test_50k_queries_bounded_and_spot_exact(self):
+        """The docstring's large-query-side claim exercised: 50k
+        queries x 60k points through the cell-keyed plan (queries can
+        NEVER be broadcast at this multiplicity), completing in bounded
+        wall time with no per-query dispatch; 25 random queries
+        verified exactly against brute force."""
+        import time
+
+        import ray.data as rd
+
+        from go_osm_search_ray import geo
+
+        rng = np.random.default_rng(99)
+        n_p, n_q = 60_000, 50_000
+        points = pa.table({
+            "point_id": pa.array(np.arange(n_p), pa.int64()),
+            "lat": pa.array(rng.uniform(-80, 80, n_p)),
+            "lon": pa.array(rng.uniform(-170, 170, n_p)),
+        })
+        queries = pa.table({
+            "query_id": pa.array(np.arange(n_q), pa.int64()),
+            "lat": pa.array(rng.uniform(-60, 60, n_q)),
+            "lon": pa.array(rng.uniform(-170, 170, n_q)),
+            "k": pa.array(np.full(n_q, 3), pa.int64()),
+            "radius_km": pa.array(np.full(n_q, 800.0)),
+        })
+        t0 = time.perf_counter()
+        got = (
+            knn.knn_cell_join(
+                rd.from_arrow(points).repartition(8),
+                rd.from_arrow(queries).repartition(8),
+                radius_km=800.0, k=3, res=5,
+            ).to_pandas()
+        )
+        wall = time.perf_counter() - t0
+        assert wall < 300  # bounded: no per-query task dispatch cliff
+        # spot-exact vs brute force
+        p_lat = points["lat"].to_numpy()
+        p_lon = points["lon"].to_numpy()
+        p_id = points["point_id"].to_numpy()
+        q_lat = queries["lat"].to_numpy()
+        q_lon = queries["lon"].to_numpy()
+        by_q = {qid: g for qid, g in got.groupby("query_id")}
+        for qid in rng.choice(n_q, 25, replace=False):
+            d = geo.haversine_km(
+                np.full(n_p, q_lat[qid]), np.full(n_p, q_lon[qid]),
+                p_lat, p_lon)
+            order = np.lexsort((p_id, d))
+            want = [(int(p_id[i]), d[i]) for i in order if d[i] <= 800.0][:3]
+            g = by_q.get(qid)
+            got_rows = ([] if g is None else
+                        list(zip(g.sort_values("rank")["point_id"],
+                                 g.sort_values("rank")["dist_km"])))
+            assert [p for p, _ in got_rows] == [p for p, _ in want], qid
+            np.testing.assert_allclose([x for _, x in got_rows],
+                                       [x for _, x in want], atol=1e-9)
