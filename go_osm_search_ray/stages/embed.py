@@ -556,3 +556,101 @@ def pq_topk(ds, codebooks: np.ndarray, queries: dict, k: int,
         return out
 
     return bucketed_group_apply(partials, ["query_id"], finalize_bucket)
+
+
+def ivfpq_topk(ds, centroids: np.ndarray, codebooks: np.ndarray,
+               queries: dict, k: int, nprobe: int = 2,
+               id_col: str = "vec_id", batch_size: int = 4096):
+    """Two-level ANN — the billion-vector composition: IVF coarse
+    probing prunes each corpus batch to the rows in a query's `nprobe`
+    nearest buckets, PQ ADC (per-query distance LUT, one fancy-index
+    gather) ranks inside them.  At rest the corpus stores only
+    (ivf_bucket, pq codes): reads prune on the bucket partition key
+    and never touch float embeddings; here buckets/codes are derived
+    on the fly when the columns are absent so the operator is
+    self-contained.  Partial top-k per block, bucketed exact finalize
+    on (adc ASC, id ASC).  Returns (query_id, rank, vec_id, adc)."""
+    import ray
+
+    from .agg import bucketed_group_apply
+    from .knn import cached_state
+
+    qm = np.asarray(queries["embedding"], dtype=np.float64)
+    n_sub, n_codes, dsub = codebooks.shape
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    wanted = [np.unique(p) for p in probe]
+    all_wanted = (np.unique(np.concatenate(wanted)) if wanted
+                  else np.array([], dtype=np.int64))
+    lut = np.stack([
+        ((qm[:, s * dsub:(s + 1) * dsub][:, None, :]
+          - codebooks[s][None, :, :]) ** 2).sum(-1)
+        for s in range(n_sub)
+    ], axis=1)
+    ref = ray.put({"c": centroids, "cb": codebooks, "lut": lut,
+                   "q_ids": np.asarray(queries["query_id"]),
+                   "wanted": wanted, "all_wanted": all_wanted})
+
+    class Partial:
+        def __init__(self):
+            st = ray.get(ref)
+            self.__dict__.update(st)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              id_col: pa.array([], pa.int64()),
+                              "adc": pa.array([], pa.float64())})
+            m = _to_matrix(batch["embedding"])
+            if "ivf_bucket" in batch.column_names:
+                bucket = batch["ivf_bucket"].to_numpy()
+            else:
+                d = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
+                bucket = d.argmin(1)
+            keep = np.isin(bucket, self.all_wanted)
+            if not keep.any():
+                return empty
+            m = m[keep]
+            bucket = bucket[keep]
+            ids = batch[id_col].to_numpy()[keep]
+            n_sub, n_codes, dsub = self.cb.shape
+            codes = np.empty((len(m), n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                x = m[:, s * dsub:(s + 1) * dsub]
+                d2 = ((x[:, None, :] - self.cb[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            adc = self.lut[:, np.arange(n_sub)[None, :], codes].sum(-1)
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(bucket, self.wanted[qi])
+                idx = np.nonzero(mask)[0]
+                kk = min(k, len(idx))
+                if kk == 0:
+                    continue
+                top = idx[np.lexsort((ids[idx], adc[qi][idx]))[:kk]]
+                out_q.append(np.full(len(top), self.q_ids[qi]))
+                out_i.append(ids[top])
+                out_d.append(adc[qi][top])
+            if not out_q:
+                return empty
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "adc": pa.array(np.concatenate(out_d), pa.float64()),
+            })
+
+    key = f"ivfpq/{ref.hex()}"
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        return cached_state(key, Partial)(batch)
+
+    partials = ds.map_batches(part_fn, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "adc", id_col], kind="mergesort")
+        rn = g.groupby("query_id", sort=False).cumcount().to_numpy()
+        out = g[rn < k].copy()
+        out["rank"] = (rn[rn < k] + 1).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(partials, ["query_id"], finalize_bucket)

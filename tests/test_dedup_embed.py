@@ -456,3 +456,56 @@ class TestPQ:
             np.testing.assert_array_equal(sub["vec_id"].to_numpy(), ids[order])
             np.testing.assert_allclose(sub["adc"].to_numpy(), d[order],
                                        atol=1e-6)
+
+    def test_ivfpq_full_probe_zero_error_equals_exact(self):
+        """IVF-PQ at full probe with spanning codebooks == exact L2:
+        the two approximations (bucket pruning, code reconstruction)
+        are each at their exact operating point, so the composition
+        must be too."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(17)
+        m = rng.integers(-50, 50, size=(16, 8)).astype(np.float64) * 10
+        ids = np.arange(16, dtype=np.int64)
+        cents = embed.kmeans_centroids(m, 4, iters=8)
+        books = embed.pq_codebooks(m, n_sub=2, n_codes=16, iters=10)
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+        queries = {"query_id": [1, 9], "embedding": [m[1], m[9]]}
+        got = (embed.ivfpq_topk(rd.from_pandas(df).repartition(3), cents,
+                                books, queries, k=5, nprobe=4)
+               .to_pandas().sort_values(["query_id", "rank"])
+               .reset_index(drop=True))
+        for q in (1, 9):
+            d = ((m - m[q]) ** 2).sum(1)
+            order = np.lexsort((ids, d))[:5]
+            sub = got[got["query_id"] == q]
+            np.testing.assert_array_equal(sub["vec_id"].to_numpy(), ids[order])
+
+    def test_ivfpq_recall_reasonable(self):
+        """On the sf0.001 embeddings (worst case: uniform, no cluster
+        structure) IVF-PQ recall@5 vs exact L2 must be materially
+        above chance and rise with nprobe."""
+        import ray.data as rd
+
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        ids = df["vec_id"].to_numpy()
+        cents = embed.kmeans_centroids(m[:300], 8, iters=8)
+        books = embed.pq_codebooks(m, n_sub=16, n_codes=64, iters=5)
+        queries = {"query_id": ids[:10].tolist(),
+                   "embedding": df["embedding"].head(10).tolist()}
+
+        def recall(nprobe):
+            ds = rd.read_parquet(f"{SF}/embeddings.parquet").repartition(3)
+            got = embed.ivfpq_topk(ds, cents, books, queries, k=5,
+                                   nprobe=nprobe).to_pandas()
+            hits = 0
+            for qi in range(10):
+                d = ((m - m[qi]) ** 2).sum(1)
+                truth = set(ids[np.lexsort((ids, d))[:5]].tolist())
+                hits += len(truth & set(got[got["query_id"] == ids[qi]]["vec_id"]))
+            return hits / 50.0
+
+        r2, r8 = recall(2), recall(8)
+        assert r8 >= r2
+        assert r8 >= 0.5
