@@ -2984,6 +2984,26 @@ FROM r WHERE rank <= 5
     return sql
 
 
+def q_ivfpq_search(sf_dir: str):
+    """IVF-PQ two-level ANN at FULL probe: bucket pruning is a no-op
+    at nprobe = n_centroids, so the result is exactly the PQ ADC
+    ranking and shares pq_search's oracle (the ivf_search technique);
+    partial-probe recall is pytest-proven
+    (tests/test_dedup_embed.py::TestPQ)."""
+    books = _pq_books(sf_dir)
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
+    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    qn = 5
+    queries = {
+        "query_id": emb["vec_id"].to_pylist()[:qn],
+        "embedding": emb["embedding"].to_pylist()[:qn],
+    }
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embed.ivfpq_topk(ds, cents, books, queries, k=5, nprobe=8).to_pandas()
+    return _round6(out[["query_id", "rank", "vec_id", "adc"]], ["adc"])
+
+
 def q_ivf_search(sf_dir: str):
     """IVF probing search at FULL probe (nprobe = n_centroids): the
     recall-1 configuration is exactly brute-force cosine top-k, so it
@@ -3071,6 +3091,7 @@ def registry():
         "ivf_search": (q_ivf_search, SQL_EMBEDDING_KNN),
         "pq_encode": (q_pq_encode, _pq_encode_sql()),
         "pq_search": (q_pq_search, _pq_search_sql()),
+        "ivfpq_search": (q_ivfpq_search, _pq_search_sql()),
         # relational coverage
         "pricing_summary": (q_pricing_summary, SQL_PRICING),
         "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
