@@ -780,6 +780,50 @@ FROM l GROUP BY 1
 """
 
 
+def q_events_window_join(sf_dir: str):
+    """Keyed STREAM-STREAM window join: every event within 1 hour
+    AFTER a same-user purchase (the follow-on-activity join a
+    sessionized event pipeline needs).  Distributed as a bucket-hash
+    co-location on the equi-key (user_id) — both streams of a user
+    land in one bucket; inside the bucket ONE vectorized merge + time
+    filter does every user at once.  The time bound makes per-pair
+    output linear in true matches; the user-key hash spreads hot users
+    no worse than their own event density."""
+    from ..stages.agg import _col_us, bucketed_group_apply
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    hour_us = 3_600_000_000
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        ts = _col_us(g["ts"])
+        base = pd.DataFrame({"user_id": g["user_id"],
+                             "event_id": g["event_id"],
+                             "event_type": g["event_type"], "ts_us": ts})
+        p = base[base["event_type"] == "purchase"][["user_id", "event_id", "ts_us"]] \
+            .rename(columns={"event_id": "purchase_id", "ts_us": "p_ts"})
+        m = p.merge(base, on="user_id")
+        keep = (m["ts_us"] > m["p_ts"]) & (m["ts_us"] <= m["p_ts"] + hour_us)
+        m = m[keep]
+        return pd.DataFrame({
+            "purchase_id": m["purchase_id"].to_numpy(np.int64),
+            "event_id": m["event_id"].to_numpy(np.int64),
+            "event_type": m["event_type"].to_numpy(),
+            "dt_us": (m["ts_us"] - m["p_ts"]).to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(ds, ["user_id"], bucket_join)
+
+
+SQL_EVENTS_WINDOW_JOIN = """
+SELECT p.event_id AS purchase_id, e.event_id, e.event_type,
+       CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS dt_us
+FROM events p JOIN events e ON e.user_id = p.user_id
+WHERE p.event_type = 'purchase'
+  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_quality_filter(sf_dir: str):
     """Corpus-RELATIVE quality gate — the 'drop the low-quality half'
     LLM-data pipeline: pass 1 streams the corpus into a mergeable
@@ -3100,6 +3144,7 @@ def registry():
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+        "events_window_join": (q_events_window_join, SQL_EVENTS_WINDOW_JOIN),
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
         "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
