@@ -376,6 +376,39 @@ FROM a JOIN b
 """
 
 
+def q_region_areas(sf_dir: str):
+    """Geodesic (spherical) area of each nation rectangle — the
+    engine-canonical replacement for the reference R-tree's planar box
+    area (rtree.go:29-47, used for split decisions): on the sphere a
+    lat/lon rect's area is R^2 * (sin lat1 - sin lat0) * dlon.  Pure
+    per-row vectorized math; rounded to whole km^2 (integer-exact)."""
+    ds = read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def area(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["n_nationkey"].to_numpy().astype(np.int64)
+        lat0 = (k % 5) * 36.0 - 90.0
+        lat1 = lat0 + 38.0
+        dlon = np.radians(74.0)
+        r = 6371.0
+        a = (r * r * dlon
+             * (np.sin(np.radians(np.minimum(lat1, 90.0)))
+                - np.sin(np.radians(lat0))))
+        return pd.DataFrame({"polygon_id": k,
+                             "area_km2": np.round(a).astype(np.int64)})
+
+    return ds.map_batches(area, batch_format="pandas")
+
+
+SQL_REGION_AREAS = """
+SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+       CAST(round(6371.0*6371.0*radians(74.0)
+            * (sin(radians(LEAST((n_nationkey%5)*36.0-52.0, 90.0)))
+               - sin(radians((n_nationkey%5)*36.0-90.0)))) AS BIGINT)
+         AS area_km2
+FROM nation
+"""
+
+
 def q_vectorize(sf_dir: str):
     """RASTER -> VECTOR: per-cell order-point counts thresholded and
     emitted as cell rectangle geometries (occupied-region extraction at
@@ -3097,6 +3130,7 @@ def registry():
         "rasterize": (q_rasterize, SQL_RASTERIZE),
         "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
         "overlap_join": (q_overlap_join, SQL_OVERLAP_JOIN),
+        "region_areas": (q_region_areas, SQL_REGION_AREAS),
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
         "zorder_assign": (q_zorder_assign, SQL_ZORDER),
         "focal_sum": (q_focal_sum, SQL_FOCAL_SUM),
