@@ -730,10 +730,7 @@ def q_zorder_assign(sf_dir: str):
         tiling.derive_key_latlon("o_orderkey"), batch_format="pyarrow")
 
     def z(b: pa.Table) -> pa.Table:
-        lat = b["lat"].to_numpy()
-        lon = b["lon"].to_numpy()
-        y = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-        x = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        x, y = geo.tile_xy(b["lat"].to_numpy(), b["lon"].to_numpy(), res)
         zk = np.zeros(len(y), dtype=np.int64)
         for bit in range(res):
             zk |= ((y >> bit) & 1) << (2 * bit + 1)
@@ -2540,9 +2537,13 @@ def q_phash_near_pairs(sf_dir: str):
                  .reset_index())
 
     sigs = bucketed_group_apply(ah, ["ahash_int"], collapse, n_buckets=32)
+    # max_bucket=None: the SQL oracle's self-join is uncapped, so the
+    # query must be too (bounded distinct-signature corpus here; cap
+    # when running uncapped-oracle-free at web scale)
     pairs = dedup.hamming_dup_pairs(sigs, id_col="rep_id",
                                     sig_col="ahash_int", max_hamming=7,
-                                    n_bands=8, carry_cols=["n_images"])
+                                    n_bands=8, carry_cols=["n_images"],
+                                    max_bucket=None)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.rename(columns={"n_images_a": "n_a", "n_images_b": "n_b"})
@@ -2594,7 +2595,7 @@ def q_phash_dedup_keep(sf_dir: str):
     sigs = bucketed_group_apply(ah, ["ahash_int"], collapse, n_buckets=32)
     pairs = dedup.hamming_dup_pairs(sigs, id_col="rep",
                                     sig_col="ahash_int", max_hamming=7,
-                                    n_bands=8)
+                                    n_bands=8, max_bucket=None)  # uncapped oracle
 
     n_parts = default_join_partitions()
     pairs = join_safe(pairs, n_parts).materialize()
@@ -2962,7 +2963,14 @@ def q_pq_encode(sf_dir: str):
     oracle as a VALUES table and the per-subspace argmin code
     assignment is verified row for row.  This long (vec_id, subspace,
     code) table is the at-rest form a 10^12-vector corpus stores in
-    place of float embeddings (32x smaller reads)."""
+    place of float embeddings (32x smaller reads).
+
+    Like _ivf_assign_sql, the oracle SQL is generated from the
+    driver's correctness sf (sf0.01) with the IDENTICAL deterministic
+    training recipe, so query and oracle share codebooks exactly
+    there; at any other sf the VALUES table does not correspond and
+    the oracle comparison is meaningless (the fixed-input-technique
+    limitation, shared by every trained-state oracle here)."""
     books = _pq_books(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embed.pq_encode(ds, books)

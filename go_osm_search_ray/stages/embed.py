@@ -435,6 +435,46 @@ def pq_codebooks(sample: np.ndarray, n_sub: int = 4, n_codes: int = 16,
     ])
 
 
+def _pq_assign_codes(m: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) matrix -> (n, n_sub) int64 code ids: per-subspace argmin
+    squared L2 (ties -> lowest code id, matching the oracle's
+    row_number ORDER BY dist, code).  The ONE implementation every PQ
+    stage shares — encode, ADC search, IVF-PQ."""
+    n_sub, n_codes, dsub = codebooks.shape
+    codes = np.empty((len(m), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        x = m[:, s * dsub:(s + 1) * dsub]
+        d2 = ((x[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = d2.argmin(1)
+    return codes
+
+
+def _pq_lut(qm: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(Q, n_sub, n_codes) table of exact squared distances from each
+    query's subvector to every code (the ADC lookup table)."""
+    n_sub, n_codes, dsub = codebooks.shape
+    return np.stack([
+        ((qm[:, s * dsub:(s + 1) * dsub][:, None, :]
+          - codebooks[s][None, :, :]) ** 2).sum(-1)
+        for s in range(n_sub)
+    ], axis=1)
+
+
+def _finalize_adc(partials, k: int, id_col: str):
+    """Bucketed exact top-k merge on (adc ASC, id ASC) — the
+    distance-metric twin of _finalize_topk."""
+    from .agg import bucketed_group_apply
+
+    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "adc", id_col], kind="mergesort")
+        rn = g.groupby("query_id", sort=False).cumcount().to_numpy()
+        out = g[rn < k].copy()
+        out["rank"] = (rn[rn < k] + 1).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(partials, ["query_id"], finalize_bucket)
+
+
 def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id"):
     """PQ-encode the corpus: per subspace, the nearest code id (argmin
     squared L2; ties -> lowest code id, matching the oracle's
@@ -454,13 +494,9 @@ def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id"):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _to_matrix(batch["embedding"])
-            n_sub, n_codes, dsub = self.cb.shape
+            n_sub = self.cb.shape[0]
             n = len(m)
-            codes = np.empty((n, n_sub), dtype=np.int64)
-            for s in range(n_sub):
-                x = m[:, s * dsub:(s + 1) * dsub]
-                d2 = ((x[:, None, :] - self.cb[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
+            codes = _pq_assign_codes(m, self.cb)
             ids = batch[id_col].to_numpy()
             return pa.table({
                 id_col: pa.array(np.repeat(ids, n_sub)),
@@ -493,13 +529,8 @@ def pq_topk(ds, codebooks: np.ndarray, queries: dict, k: int,
     from .agg import bucketed_group_apply
 
     qm = np.asarray(queries["embedding"], dtype=np.float64)
-    n_sub, n_codes, dsub = codebooks.shape
-    # LUT[q, s, c] = ||q_sub(s) - codebook[s, c]||^2
-    lut = np.stack([
-        ((qm[:, s * dsub:(s + 1) * dsub][:, None, :]
-          - codebooks[s][None, :, :]) ** 2).sum(-1)
-        for s in range(n_sub)
-    ], axis=1)
+    n_sub = codebooks.shape[0]
+    lut = _pq_lut(qm, codebooks)
     ref = ray.put({"cb": codebooks, "lut": lut,
                    "q_ids": np.asarray(queries["query_id"])})
 
@@ -514,12 +545,8 @@ def pq_topk(ds, codebooks: np.ndarray, queries: dict, k: int,
             m = _to_matrix(batch["embedding"])
             ids = batch[id_col].to_numpy()
             n = len(m)
-            n_sub, n_codes, dsub = self.cb.shape
-            codes = np.empty((n, n_sub), dtype=np.int64)
-            for s in range(n_sub):
-                x = m[:, s * dsub:(s + 1) * dsub]
-                d2 = ((x[:, None, :] - self.cb[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
+            n_sub = self.cb.shape[0]
+            codes = _pq_assign_codes(m, self.cb)
             # adc[q, i] = sum_s lut[q, s, codes[i, s]]
             adc = self.lut[:, np.arange(n_sub)[None, :], codes].sum(-1)
             out_q, out_i, out_d = [], [], []
@@ -547,15 +574,7 @@ def pq_topk(ds, codebooks: np.ndarray, queries: dict, k: int,
 
     partials = ds.map_batches(part_fn, batch_format="pyarrow",
                               batch_size=batch_size)
-
-    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["query_id", "adc", id_col], kind="mergesort")
-        rn = g.groupby("query_id", sort=False).cumcount().to_numpy()
-        out = g[rn < k].copy()
-        out["rank"] = (rn[rn < k] + 1).astype(np.int64)
-        return out
-
-    return bucketed_group_apply(partials, ["query_id"], finalize_bucket)
+    return _finalize_adc(partials, k, id_col)
 
 
 def ivfpq_topk(ds, centroids: np.ndarray, codebooks: np.ndarray,
@@ -576,17 +595,13 @@ def ivfpq_topk(ds, centroids: np.ndarray, codebooks: np.ndarray,
     from .knn import cached_state
 
     qm = np.asarray(queries["embedding"], dtype=np.float64)
-    n_sub, n_codes, dsub = codebooks.shape
+    n_sub = codebooks.shape[0]
     qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
     probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
     wanted = [np.unique(p) for p in probe]
     all_wanted = (np.unique(np.concatenate(wanted)) if wanted
                   else np.array([], dtype=np.int64))
-    lut = np.stack([
-        ((qm[:, s * dsub:(s + 1) * dsub][:, None, :]
-          - codebooks[s][None, :, :]) ** 2).sum(-1)
-        for s in range(n_sub)
-    ], axis=1)
+    lut = _pq_lut(qm, codebooks)
     ref = ray.put({"c": centroids, "cb": codebooks, "lut": lut,
                    "q_ids": np.asarray(queries["query_id"]),
                    "wanted": wanted, "all_wanted": all_wanted})
@@ -612,12 +627,8 @@ def ivfpq_topk(ds, centroids: np.ndarray, codebooks: np.ndarray,
             m = m[keep]
             bucket = bucket[keep]
             ids = batch[id_col].to_numpy()[keep]
-            n_sub, n_codes, dsub = self.cb.shape
-            codes = np.empty((len(m), n_sub), dtype=np.int64)
-            for s in range(n_sub):
-                x = m[:, s * dsub:(s + 1) * dsub]
-                d2 = ((x[:, None, :] - self.cb[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
+            n_sub = self.cb.shape[0]
+            codes = _pq_assign_codes(m, self.cb)
             adc = self.lut[:, np.arange(n_sub)[None, :], codes].sum(-1)
             out_q, out_i, out_d = [], [], []
             for qi in range(len(self.q_ids)):
@@ -645,12 +656,4 @@ def ivfpq_topk(ds, centroids: np.ndarray, codebooks: np.ndarray,
 
     partials = ds.map_batches(part_fn, batch_format="pyarrow",
                               batch_size=batch_size)
-
-    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["query_id", "adc", id_col], kind="mergesort")
-        rn = g.groupby("query_id", sort=False).cumcount().to_numpy()
-        out = g[rn < k].copy()
-        out["rank"] = (rn[rn < k] + 1).astype(np.int64)
-        return out
-
-    return bucketed_group_apply(partials, ["query_id"], finalize_bucket)
+    return _finalize_adc(partials, k, id_col)

@@ -241,32 +241,30 @@ def rect_overlap_join(a_ds, b_ds, res: int = 4,
 
     def cover(prefix):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            cols = {f"{prefix}{c}": [] for c in
-                    ["id", "lat0", "lat1", "lon0", "lon1"]}
-            tiles_out = []
-            for row in b.itertuples():  # rects per batch are few
-                y_lo = min(max(int(np.floor((row.lat0 + 90.0) / dlat)), 0), n - 1)
-                y_hi = min(max(int(np.floor((row.lat1 + 90.0) / dlat)), 0), n - 1)
-                x_lo = min(max(int(np.floor((row.lon0 + 180.0) / dlon)), 0), n - 1)
-                x_hi = min(max(int(np.floor((row.lon1 + 180.0) / dlon)), 0), n - 1)
-                ys = np.arange(y_lo, y_hi + 1, dtype=np.int64)
-                xs = np.arange(x_lo, x_hi + 1, dtype=np.int64)
-                tiles = (ys[:, None] * n + xs[None, :]).ravel()
-                tiles_out.append(tiles)
-                m = len(tiles)
-                cols[f"{prefix}id"].append(np.full(m, row.id, dtype=np.int64))
-                for c in ["lat0", "lat1", "lon0", "lon1"]:
-                    cols[f"{prefix}{c}"].append(
-                        np.full(m, getattr(row, c), dtype=np.float64))
-            if not tiles_out:
-                out = pd.DataFrame({k: pd.Series([], dtype=np.float64)
-                                    for k in cols})
-                out[f"{prefix}id"] = out[f"{prefix}id"].astype(np.int64)
-                out["tile_id"] = pd.Series([], dtype=np.int64)
-                return out
-            out = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
-            out["tile_id"] = np.concatenate(tiles_out)
-            return out
+            # fully vectorized variable-fanout explode (a rect side can
+            # be a whole table, so no per-row Python): per-rect tile
+            # ranges -> flat offset arithmetic over the concatenation
+            y_lo = np.clip(np.floor((b["lat0"].to_numpy() + 90.0) / dlat),
+                           0, n - 1).astype(np.int64)
+            y_hi = np.clip(np.floor((b["lat1"].to_numpy() + 90.0) / dlat),
+                           0, n - 1).astype(np.int64)
+            x_lo = np.clip(np.floor((b["lon0"].to_numpy() + 180.0) / dlon),
+                           0, n - 1).astype(np.int64)
+            x_hi = np.clip(np.floor((b["lon1"].to_numpy() + 180.0) / dlon),
+                           0, n - 1).astype(np.int64)
+            cy = y_hi - y_lo + 1
+            cx = x_hi - x_lo + 1
+            cnt = cy * cx
+            total = int(cnt.sum())
+            rep = np.repeat(np.arange(len(b), dtype=np.int64), cnt)
+            start = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            off = np.arange(total, dtype=np.int64) - start
+            dy, dx = off // cx[rep], off % cx[rep]
+            out = {f"{prefix}id": b["id"].to_numpy(np.int64)[rep]}
+            for c in ["lat0", "lat1", "lon0", "lon1"]:
+                out[f"{prefix}{c}"] = b[c].to_numpy(np.float64)[rep]
+            out["tile_id"] = (y_lo[rep] + dy) * n + (x_lo[rep] + dx)
+            return pd.DataFrame(out)
         return fn
 
     n_part = default_join_partitions()
