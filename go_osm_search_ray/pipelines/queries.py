@@ -725,7 +725,6 @@ def q_zorder_assign(sf_dir: str):
     over a bbox touch O(perimeter) key runs instead of scattering).
     Pure per-row bit math, vectorized; SQL mirrors every bit term."""
     res = 8
-    n = 1 << res
     ds = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
         tiling.derive_key_latlon("o_orderkey"), batch_format="pyarrow")
 
