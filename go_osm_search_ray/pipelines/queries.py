@@ -1202,6 +1202,51 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_incremental(sf_dir: str):
+    """CROSS-EPOCH incremental dedup end to end: the corpus splits
+    into two deterministic epochs (doc_id parity — "yesterday's crawl"
+    and "today's"), epoch 0 dedupes and persists its (hash, id) state
+    as an immutable epoch partition, epoch 1 dedupes internally then
+    hash-ANTI-JOINs against the persisted state — yesterday's text is
+    never re-read (dedup.incremental_exact_dedup).  Earlier epoch
+    wins, then min id; output (doc_id, epoch) for every survivor.
+    The SQL oracle is the batch-equivalent row_number over
+    (epoch, doc_id) per hash — incremental must equal batch."""
+    import shutil
+    import tempfile
+
+    state = tempfile.mkdtemp(prefix="graft_incdedup_")
+    try:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def split(par):
+            return ds.map_batches(
+                lambda b, p=par: b[b["doc_id"] % 2 == p],
+                batch_format="pandas")
+
+        k0 = dedup.incremental_exact_dedup(state, split(0), 0).to_pandas()
+        k1 = dedup.incremental_exact_dedup(state, split(1), 1).to_pandas()
+        out = pd.concat([k0, k1], ignore_index=True)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["epoch"] = out["epoch"].astype(np.int64)
+        return out[["doc_id", "epoch"]]
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH h AS (SELECT doc_id, doc_id % 2 AS epoch,
+                  md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    AS text_hash
+           FROM documents),
+r AS (SELECT doc_id, epoch,
+             row_number() OVER (PARTITION BY text_hash
+                                ORDER BY epoch, doc_id) AS rn
+      FROM h)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch FROM r WHERE rn = 1
+"""
+
+
 def _shingle_common_impl(sf_dir: str):
     """(id_a, id_b, common, size_a, size_b) for pairs passing
     common*5 >= size_a+size_b-common (jaccard >= 1/5) — thin wrapper
@@ -3163,6 +3208,7 @@ def registry():
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
         "shingle_common": (_shingle_common_impl, SQL_SHINGLE_COMMON),
         "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
         "near_dedup_minhash": (q_near_dedup_minhash, SQL_NEAR_DEDUP_KEEP),

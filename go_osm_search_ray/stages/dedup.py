@@ -826,3 +826,53 @@ def fingerprint_pairs(fp_ds, id_col="doc_id", fp_col="fingerprint",
 
     pairs = bucketed_group_apply(fp_ds, [fp_col], pairs_bucket)
     return bucketed_group_apply(pairs, ["id_a", "id_b"], finalize_bucket)
+
+
+def incremental_exact_dedup(state_dir: str, ds, epoch: int,
+                            id_col="doc_id", text_col="text"):
+    """CROSS-EPOCH incremental dedup — the production crawl shape:
+    dedupe today's batch against yesterday's corpus WITHOUT
+    recomputing it.  The persisted state is a (text_hash, id, epoch)
+    parquet table partitioned by epoch (epoch dirs are immutable:
+    resume/replay = drop the partial epoch dir and re-run it).
+
+    Plan: hash the new batch, dedupe WITHIN it (bucket-hash min-id per
+    hash), then hash ANTI-JOIN the survivors against the state table's
+    hashes (only hashes move — the state's text never re-reads), and
+    append the new epoch's winners to the state.  Earlier epochs
+    always win; within an epoch the min id wins (deterministic,
+    SQL-mirrorable as row_number over (epoch, id)).
+
+    Returns the kept (id, epoch) rows of THIS epoch.  Reference
+    analogue: the encounter-order dedup map indexer.go:105,156
+    re-expressed as immutable epoch state instead of a shared dict."""
+    import os
+
+    import ray.data as rd
+
+    from .agg import default_join_partitions, join_safe
+
+    n_parts = default_join_partitions()
+    fresh = join_safe(exact_dedup(ds, id_col, text_col), n_parts)
+
+    prior_epochs = sorted(
+        d for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+        if d.startswith("epoch=")
+    )
+    if prior_epochs:
+        prior = rd.read_parquet(
+            [os.path.join(state_dir, d) for d in prior_epochs],
+            columns=["text_hash"],
+        )
+        fresh = fresh.join(join_safe(prior, n_parts), "left_anti",
+                           n_parts, on=("text_hash",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["text_hash", id_col]].copy()
+        out["epoch"] = np.int64(epoch)
+        return out
+
+    kept = fresh.map_batches(finish, batch_format="pandas")
+    kept.write_parquet(os.path.join(state_dir, f"epoch={epoch}"))
+    return rd.read_parquet(os.path.join(state_dir, f"epoch={epoch}"),
+                           columns=[id_col, "epoch"])

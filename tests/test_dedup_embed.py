@@ -509,3 +509,37 @@ class TestPQ:
         r2, r8 = recall(2), recall(8)
         assert r8 >= r2
         assert r8 >= 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalDedup:
+    def test_cross_epoch_and_replay(self, tmp_path):
+        """Epoch-1 copies of epoch-0 content are dropped even with a
+        SMALLER id (earlier epoch wins); epoch-1 internal dups keep
+        min id; replaying epoch 1 (immutable-epoch-dir resume model:
+        drop the partial dir, re-run) reproduces the same survivors."""
+        import shutil
+
+        import ray.data as rd
+
+        state = str(tmp_path / "state")
+        e0 = pd.DataFrame({"doc_id": [10, 11, 12],
+                           "text": ["alpha beta", "gamma delta", "epsilon"]})
+        e1 = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha beta",       # dup of epoch-0 doc 10 (smaller id!)
+                     "zeta eta",         # new
+                     "zeta eta",         # in-epoch dup of 2
+                     "Gamma, DELTA"],    # normalized dup of epoch-0 doc 11
+        })
+        k0 = dedup.incremental_exact_dedup(
+            state, rd.from_pandas(e0).repartition(2), 0).to_pandas()
+        assert sorted(k0["doc_id"]) == [10, 11, 12]
+        k1 = dedup.incremental_exact_dedup(
+            state, rd.from_pandas(e1).repartition(2), 1).to_pandas()
+        assert sorted(k1["doc_id"]) == [2]
+        # replay epoch 1
+        shutil.rmtree(str(tmp_path / "state" / "epoch=1"))
+        k1b = dedup.incremental_exact_dedup(
+            state, rd.from_pandas(e1).repartition(3), 1).to_pandas()
+        assert sorted(k1b["doc_id"]) == [2]
