@@ -17,10 +17,15 @@ import sys
 
 
 def _ray():
+    """Own the Ray session: local by default; under `ray job submit`
+    RAY_ADDRESS (or address=auto) attaches to the cluster instead."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
