@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import geo
 from ..sources import read_table, read_table_arrow
@@ -496,6 +497,37 @@ r AS ({SQL_NATION_RECTS})
 SELECT p.point_id, MIN(r.polygon_id) AS polygon_id
 FROM p JOIN r ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1
 GROUP BY p.point_id
+"""
+
+
+def q_pip_antijoin(sf_dir: str):
+    """Spatial ANTI-join: points contained by NO polygon (coverage-gap
+    extraction — the QA pass a geocoding pipeline runs to find
+    unassigned rows).  The polygon side keeps only latitude rows 0/2/4
+    of the nation grid so real gaps exist; the PIP probe itself
+    already computes the miss (polygon_id = -1 sentinel,
+    pip.first_hit), so the anti-join is a vectorized filter on the
+    join output — no second shuffle."""
+    rects = nation_rects(sf_dir)
+    # rows 0, 2, 4 of the 5-row grid: polygon_id % 5 in {0, 2, 4}
+    pid = rects["polygon_id"].to_numpy()
+    rects = rects.filter(pa.array((pid % 5) % 2 == 0))
+    joined = pip.pip_join(orders_points(sf_dir), rects, tile_res=TILE_RES,
+                          concurrency=2, attach_meta=False)
+    return joined.map_batches(
+        lambda b: b.filter(pc.less(b["polygon_id"], 0)).select(["point_id"]),
+        batch_format="pyarrow")
+
+
+SQL_PIP_ANTIJOIN = f"""
+WITH p AS (SELECT CAST(o_orderkey AS BIGINT) AS point_id,
+                  {sql_lat('o_orderkey')} AS lat, {sql_lon('o_orderkey')} AS lon
+           FROM orders),
+r AS (SELECT * FROM ({SQL_NATION_RECTS}) WHERE (polygon_id % 5) % 2 = 0)
+SELECT p.point_id FROM p
+WHERE NOT EXISTS (SELECT 1 FROM r
+                  WHERE p.lat BETWEEN r.lat0 AND r.lat1
+                    AND p.lon BETWEEN r.lon0 AND r.lon1)
 """
 
 
@@ -3179,6 +3211,7 @@ def registry():
         "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
         "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
         "pip_join": (q_pip_join, SQL_PIP_JOIN),
+        "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),
         "rasterize": (q_rasterize, SQL_RASTERIZE),
         "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
         "overlap_join": (q_overlap_join, SQL_OVERLAP_JOIN),
