@@ -1948,6 +1948,56 @@ WHERE {sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 200.0
 """
 
 
+def q_dbscan(sf_dir: str):
+    """Grid DBSCAN (eps=200 km, minpts=5) over customer-derived
+    points: eps-pairs via the cell home/ghost self-join, two-phase
+    degree count, distributed CC over core-core edges, deterministic
+    border assignment (MIN adjacent core's cluster).  The density
+    generalization of the reference's range search
+    (rtree.go:553-580); cluster_id = component-min core id."""
+    from ..stages.cluster import dbscan
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = tiling.derive_key_latlon("c_custkey")(b)
+        return b.rename_columns(["point_id", "lat", "lon"])
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    return dbscan(pts, eps_km=200.0, minpts=5, res=TILE_RES)
+
+
+SQL_DBSCAN = f"""
+WITH RECURSIVE
+p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+             {sql_lat('c_custkey')} AS lat, {sql_lon('c_custkey')} AS lon
+      FROM customer),
+e AS (SELECT a.id AS id_a, b.id AS id_b FROM p a JOIN p b ON a.id < b.id
+      WHERE {sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 200.0),
+bi AS (SELECT id_a AS a, id_b AS b FROM e
+       UNION ALL SELECT id_b, id_a FROM e),
+deg AS (SELECT a AS id, COUNT(*) AS n FROM bi GROUP BY 1),
+core AS (SELECT id FROM deg WHERE n >= 4),
+ced AS (SELECT a, b FROM bi
+        WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+walk(node, reach) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT w.node, d.b FROM walk w JOIN ced d ON d.a = w.reach
+),
+lab AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+borders AS (SELECT bi.a AS node, MIN(l.cluster_id) AS cluster_id
+            FROM bi JOIN lab l ON l.node = bi.b
+            WHERE bi.a NOT IN (SELECT id FROM core) GROUP BY 1)
+SELECT CAST(node AS BIGINT) AS point_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(1 AS BIGINT) AS is_core
+FROM lab
+UNION ALL
+SELECT node, cluster_id, CAST(0 AS BIGINT) FROM borders
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """EXACT frequent terms (count >= 200) via a Count-Min sketch:
     per-block CM partials tree-SUM-merged (the only global state is
@@ -3269,6 +3319,7 @@ def registry():
         "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
         "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
         "distance_join": (q_distance_join, SQL_DISTANCE_JOIN),
+        "dbscan": (q_dbscan, SQL_DBSCAN),
         "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
         "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "grouped_topn": (q_grouped_topn, SQL_GROUPED_TOPN),

@@ -90,6 +90,58 @@ def join_safe(ds, n_blocks: int = 16):
     return ds.repartition(n_blocks)
 
 
+def ensure_schema(ds, dtypes: dict):
+    """Pin every block to exactly `dtypes` (column order + dtype).
+
+    Hash-join OUTPUT partitions that received no rows, and
+    repartition() over an all-empty dataset, emit schema-LESS empty
+    blocks; feeding one to the next Acero join fails with "No match
+    for key field reference", and pandas map functions KeyError on the
+    missing columns.  A cheap map_batches re-type (no shuffle) makes
+    chained joins and downstream maps safe at any data size."""
+    import numpy as np
+    import pyarrow as pa
+
+    cols = list(dtypes)
+    schema = pa.schema([(c, pa.from_numpy_dtype(np.dtype(t)))
+                        for c, t in dtypes.items()])
+
+    def fix(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            # Arrow block with explicit fields: an empty TYPED pandas
+            # frame still arrives schema-less at the join boundary
+            return schema.empty_table()
+        return pa.Table.from_pandas(
+            b[cols].astype(dtypes, copy=False), schema=schema,
+            preserve_index=False)
+
+    return ds.map_batches(fix, batch_format="pandas")
+
+
+def join_input(ds, n_blocks: int | None = None):
+    """Prepare one BOUNDED side of a hash `Dataset.join`: materialize,
+    then repartition to <= the row count so NO block is empty.
+    Returns (dataset, row_count).
+
+    Why: Ray's hash-shuffle join broadcasts each input's schema only
+    with the FIRST shuffle task of that input (hash_shuffle.py:584,
+    `should_broadcast_schemas`); `_shuffle_block` returns before
+    broadcasting when its block has zero rows (hash_shuffle.py:223),
+    but the flag is still flipped — so if the first block happens to
+    be empty, aggregators whose partition receives no rows finalize a
+    schema-LESS empty table and Acero rejects the join ("No match for
+    key field reference").  All-non-empty input blocks make the first
+    task always carry schema.  The count is free post-materialize and
+    lets callers early-exit the n == 0 case (where no repartitioning
+    can help — skip the join entirely)."""
+    n_blocks = n_blocks or default_join_partitions()
+    mat = ds.materialize()
+    n = mat.count()
+    if n == 0:
+        return mat, 0
+    return mat.repartition(max(1, min(n_blocks, n))), n
+
+
 def bucketed_group_apply(ds, keys, bucket_fn, n_buckets: int = 64):
     """Keyed-group work at UNBOUNDED group counts: co-locate rows by
     hash(keys) % n_buckets (cheap 64-group sort shuffle — every row of

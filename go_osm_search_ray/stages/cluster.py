@@ -1,0 +1,178 @@
+"""Distributed density clustering (grid DBSCAN).
+
+The reference's spatial index answers "what is near this point"
+(rtree.go:553-580 range search, rtree.go:656-723 kNN); DBSCAN is the
+classic batch operation built on exactly that primitive — cluster =
+transitive closure of "dense point within eps of dense point".  The
+engine composes it from two operators that already carry the scale
+story:
+
+  pairs     = knn.distance_self_join(points, eps)   # cell home/ghost
+  degree    = two-phase count over pair endpoints
+  core      = degree + 1 >= minpts (the point counts itself)
+  clusters  = dedup.cc_labels(core-core pairs)      # distributed CC
+  borders   = non-core adjacent to a core, label = MIN adjacent
+              core's cluster (deterministic — engine-canonical where
+              the textbook algorithm is scan-order dependent)
+
+Every step is a keyed Dataset; nothing per-point touches the driver.
+Shuffle volume: pairs ~ points x mean eps-neighborhood, the same as
+any neighborhood query at this radius; the CC loop is O(log diameter)
+rounds (size-adaptive single-task union-find under 2M edges).
+
+Output: (point_id, cluster_id = component-min core id, is_core 1/0).
+Noise points (neither core nor adjacent to one) are omitted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def dbscan(pts, eps_km: float, minpts: int, res: int = 7,
+           id_col: str = "point_id", lat_col: str = "lat",
+           lon_col: str = "lon", num_partitions: int | None = None,
+           n_buckets: int = 64):
+    """Grid DBSCAN over a (id, lat, lon) Dataset.  minpts counts the
+    point itself (|N_eps(p)| >= minpts including p), matching the
+    textbook definition."""
+    from . import knn
+    from .agg import (bucketed_group_apply, default_join_partitions,
+                      ensure_schema, join_input)
+    from .dedup import cc_labels
+
+    n_part = num_partitions or default_join_partitions()
+
+    def empty_result():
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "point_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "is_core": pa.array([], pa.int64()),
+        }))
+
+    # consumed by degree-count AND core-edge extraction AND border
+    # assignment: materialize the (much smaller than input) pair list;
+    # join_input additionally guarantees no empty blocks (see agg.py —
+    # Ray's join drops the schema broadcast if the first shuffled
+    # block is empty)
+    pair_dt = {"id_a": "int64", "id_b": "int64", "dist_km": "float64"}
+    pairs, n_pairs = join_input(
+        ensure_schema(knn.distance_self_join(
+            pts, radius_km=eps_km, res=res, id_col=id_col,
+            lat_col=lat_col, lon_col=lon_col, n_buckets=n_buckets,
+        ), pair_dt), n_part)
+    if n_pairs == 0:
+        return empty_result()
+
+    # ---- degree per endpoint (two-phase count, unbounded key space)
+    from .agg import two_phase_agg
+
+    def degree_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([b["id_a"].to_numpy(np.int64),
+                              b["id_b"].to_numpy(np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"id": u, "deg": c.astype(np.int64)})
+
+    deg = two_phase_agg(pairs, degree_partial, ["id"], ["deg"])
+
+    # ---- tag each pair with both endpoints' degrees (2 hash joins);
+    # every join input/output is schema-pinned so sparsely-populated
+    # join partitions can't emit schema-less empty blocks
+    need = minpts - 1  # neighbors besides the point itself
+    deg_a, _ = join_input(ensure_schema(deg.map_batches(
+        lambda b: b.rename(columns={"id": "id_a", "deg": "deg_a"}),
+        batch_format="pandas"), {"id_a": "int64", "deg_a": "int64"}),
+        n_part)
+    deg_b, _ = join_input(ensure_schema(deg.map_batches(
+        lambda b: b.rename(columns={"id": "id_b", "deg": "deg_b"}),
+        batch_format="pandas"), {"id_b": "int64", "deg_b": "int64"}),
+        n_part)
+    j1, _ = join_input(ensure_schema(
+        pairs.join(deg_a, "inner", n_part, on=("id_a",)),
+        {**pair_dt, "deg_a": "int64"}), n_part)
+    tagged = ensure_schema(
+        j1.join(deg_b, "inner", n_part, on=("id_b",)),
+        {**pair_dt, "deg_a": "int64", "deg_b": "int64"}).materialize()
+
+    # ---- core-core edges -> connected components
+    def core_edges(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["deg_a"] >= need) & (b["deg_b"] >= need)
+        return b.loc[m, ["id_a", "id_b"]]
+
+    ce = tagged.map_batches(core_edges,
+                            batch_format="pandas").materialize()
+    labels = (cc_labels(ce, num_partitions=n_part)
+              if ce.count() > 0 else None)
+
+    # isolated cores (no core neighbor) form singleton clusters; CC
+    # only sees edge endpoints, so union in (core, core) self-labels
+    # and take the per-node min (labels are component minima <= id).
+    def core_selfrows(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["deg_a"] >= need
+        a = b.loc[m, "id_a"].to_numpy(np.int64)
+        m2 = b["deg_b"] >= need
+        bb = b.loc[m2, "id_b"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([a, bb]))
+        return pd.DataFrame({"node": ids, "label": ids})
+
+    selfrows = tagged.map_batches(core_selfrows, batch_format="pandas")
+
+    def min_label_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False)["label"].min()
+
+    lab_in = labels.union(selfrows) if labels is not None else selfrows
+    lab_dt = {"node": "int64", "label": "int64"}
+    core_lab, n_core = join_input(ensure_schema(
+        bucketed_group_apply(lab_in, ["node"], min_label_bucket,
+                             n_buckets=n_buckets),
+        lab_dt), n_part)
+    if n_core == 0:  # no dense region anywhere: all noise
+        return empty_result()
+
+    def finish(is_core: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "point_id": b["node"].to_numpy(np.int64),
+                "cluster_id": b["label"].to_numpy(np.int64),
+                "is_core": np.full(len(b), is_core, dtype=np.int64),
+            })
+        return f
+
+    finish_core = finish(1)
+
+    # ---- border points: non-core endpoint adjacent to a core
+    def half_edges(b: pd.DataFrame) -> pd.DataFrame:
+        # (border candidate, adjacent core) in both directions
+        ab = b.loc[(b["deg_a"] < need) & (b["deg_b"] >= need),
+                   ["id_a", "id_b"]].rename(
+            columns={"id_a": "border_id", "id_b": "node"})
+        ba = b.loc[(b["deg_b"] < need) & (b["deg_a"] >= need),
+                   ["id_b", "id_a"]].rename(
+            columns={"id_b": "border_id", "id_a": "node"})
+        return pd.concat([ab, ba], ignore_index=True)
+
+    halves, n_halves = join_input(ensure_schema(
+        tagged.map_batches(half_edges, batch_format="pandas"),
+        {"border_id": "int64", "node": "int64"}), n_part)
+    if n_halves == 0:  # no border candidates: cores only
+        return core_lab.map_batches(finish_core, batch_format="pandas")
+    bj = ensure_schema(
+        halves.join(core_lab, "inner", n_part, on=("node",)),
+        {"border_id": "int64", "node": "int64", "label": "int64"})
+
+    def min_cluster_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("border_id", sort=False,
+                        as_index=False)["label"].min()
+        return out.rename(columns={"border_id": "node"})
+
+    border_lab = bucketed_group_apply(bj, ["border_id"],
+                                      min_cluster_bucket,
+                                      n_buckets=n_buckets)
+
+    return (core_lab.map_batches(finish_core, batch_format="pandas")
+            .union(border_lab.map_batches(finish(0),
+                                          batch_format="pandas")))
