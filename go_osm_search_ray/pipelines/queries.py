@@ -2718,7 +2718,10 @@ def q_phash_dedup_keep(sf_dir: str):
                   .groupby("ahash_int", sort=False, as_index=False)["rep"]
                   .min())
 
-    sigs = bucketed_group_apply(ah, ["ahash_int"], collapse, n_buckets=32)
+    # consumed TWICE (pair generation + keep side): materialize so the
+    # decode+ahash lineage runs once
+    sigs = bucketed_group_apply(ah, ["ahash_int"], collapse,
+                                n_buckets=32).materialize()
     pairs = dedup.hamming_dup_pairs(sigs, id_col="rep",
                                     sig_col="ahash_int", max_hamming=7,
                                     n_bands=8, max_bucket=None)  # uncapped oracle
@@ -2731,10 +2734,16 @@ def q_phash_dedup_keep(sf_dir: str):
     if pairs.count() == 0:
         return reps
     labels = dedup.cc_labels(pairs, num_partitions=n_parts)
-    drop = join_safe(labels.map_batches(
+    drop = labels.map_batches(
         lambda b: b[b["node"] != b["label"]][["node"]],
-        batch_format="pandas"), n_parts)
-    return reps.join(drop, "left_anti", n_parts,
+        batch_format="pandas").materialize()
+    # adaptive: small drop set -> broadcast exact anti-filter (no join
+    # pool); web-scale dup rates -> keyed anti-join
+    from ..stages.agg import membership_filter
+    if drop.count() <= 4_000_000:
+        return membership_filter(reps, drop, "keep_id", "node",
+                                 keep=False)
+    return reps.join(join_safe(drop, n_parts), "left_anti", n_parts,
                      on=("keep_id",), right_on=("node",))
 
 

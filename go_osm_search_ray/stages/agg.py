@@ -118,6 +118,43 @@ def ensure_schema(ds, dtypes: dict):
     return ds.map_batches(fix, batch_format="pandas")
 
 
+def membership_filter(probe_ds, keys_mat, probe_col: str, key_col: str,
+                      keep: bool = True):
+    """EXACT broadcast semi- (keep=True) / anti- (keep=False) join
+    filter for a BOUNDED key side: the sorted distinct int64 key array
+    ships once per worker process (ray.put + per-process cache) and
+    each probe batch is filtered by one vectorized searchsorted — no
+    shuffle of either side, no join aggregator pool (whose startup
+    alone costs ~1-2 s per join on this Ray version).  The caller owns
+    the size policy: use only when the key side's row count is known
+    (materialized) and fits the broadcast budget (4M int64 = 32 MB),
+    else fall back to the keyed `Dataset.join`."""
+    import numpy as np
+    import ray
+
+    from .knn import cached_state
+
+    karr = np.sort(np.unique(np.concatenate([
+        b[key_col].to_numpy(np.int64)
+        for b in keys_mat.iter_batches(batch_format="pandas")
+    ] or [np.array([], dtype=np.int64)])))
+    ref = ray.put(karr)
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        ks = cached_state(f"memb-{id(ref)}", lambda: ray.get(ref))
+        if len(b) == 0:
+            return b
+        if len(ks) == 0:
+            return b.iloc[0:0] if keep else b
+        pv = b[probe_col].to_numpy(np.int64)
+        pos = np.searchsorted(ks, pv)
+        pos[pos >= len(ks)] = 0
+        isin = ks[pos] == pv
+        return b[isin] if keep else b[~isin]
+
+    return probe_ds.map_batches(f, batch_format="pandas")
+
+
 def join_input(ds, n_blocks: int | None = None):
     """Prepare one BOUNDED side of a hash `Dataset.join`: materialize,
     then repartition to <= the row count so NO block is empty.
@@ -196,7 +233,8 @@ def _col_us(series) -> "pd.Series":
 
 
 def interval_join(points_ds, intervals_ds, ts_col, t0_col, t1_col,
-                  bucket_us: int, n_partitions: int | None = None):
+                  bucket_us: int, n_partitions: int | None = None,
+                  broadcast_max: int = 100_000):
     """Distributed INTERVAL (range-containment) join: every point row
     is matched to every interval row with t0 <= ts < t1, with NO
     equi-key — the pure range predicate.  Reference analogue: the
@@ -219,8 +257,20 @@ def interval_join(points_ds, intervals_ds, ts_col, t0_col, t1_col,
     points and `t0_col`/`t1_col` on intervals may be datetime64 or
     int64 microseconds.  Returns the joined Dataset with both sides'
     columns (timestamps preserved as-is; the bucket id is dropped).
+
+    Adaptive: an interval side with <= `broadcast_max` rows is
+    broadcast whole (ray.put once, per-worker-process cache) and the
+    join becomes a per-batch vectorized containment scan over the
+    streaming point side — no shuffle of EITHER side, no join
+    aggregator pool.  The bucketized join below is the
+    unbounded-intervals path.
     """
     import numpy as np
+
+    intervals_ds = intervals_ds.materialize()
+    if intervals_ds.count() <= broadcast_max:
+        return _interval_join_broadcast(points_ds, intervals_ds,
+                                        ts_col, t0_col, t1_col)
 
     def tag_points(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -254,6 +304,52 @@ def interval_join(points_ds, intervals_ds, ts_col, t0_col, t1_col,
         return b[keep].drop(columns=["_tb"])
 
     return joined.map_batches(contain, batch_format="pandas")
+
+
+def _interval_join_broadcast(points_ds, intervals_mat, ts_col,
+                             t0_col, t1_col):
+    """Small-interval-side interval join: the interval table rides the
+    object store once (per-worker-process cache), each point batch is
+    matched by one vectorized sweep per interval — m interval-vs-batch
+    mask ops, zero shuffle.  Output schema matches the bucketized
+    path: points' columns + intervals' columns."""
+    import numpy as np
+    import ray
+
+    from .knn import cached_state
+
+    iv_df = intervals_mat.to_pandas()
+    ref = ray.put(iv_df)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        iv = cached_state(f"ivjoin-{id(ref)}", lambda: ray.get(ref))
+        out_cols = list(b.columns) + list(iv.columns)
+        if len(b) == 0 or len(iv) == 0:
+            return pd.DataFrame({
+                c: pd.Series([], dtype=(b[c].dtype if c in b.columns
+                                        else iv[c].dtype))
+                for c in out_cols})
+        ts = _col_us(b[ts_col])
+        t0 = _col_us(iv[t0_col])
+        t1 = _col_us(iv[t1_col])
+        p_idx, i_idx = [], []
+        for j in range(len(iv)):
+            hit = np.nonzero((ts >= t0[j]) & (ts < t1[j]))[0]
+            if len(hit):
+                p_idx.append(hit)
+                i_idx.append(np.full(len(hit), j, dtype=np.int64))
+        if not p_idx:
+            return pd.DataFrame({
+                c: pd.Series([], dtype=(b[c].dtype if c in b.columns
+                                        else iv[c].dtype))
+                for c in out_cols})
+        pi = np.concatenate(p_idx)
+        ii = np.concatenate(i_idx)
+        left = b.iloc[pi].reset_index(drop=True)
+        right = iv.iloc[ii].reset_index(drop=True)
+        return pd.concat([left, right], axis=1)
+
+    return points_ds.map_batches(match, batch_format="pandas")
 
 
 def asof_join_tagged(ds, key, ts_col, side_col, left_val, right_val,

@@ -197,7 +197,8 @@ def bloom_build(keys_ds, key_col: str, m_bits: int, k: int,
 
 def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
                     n_keys_hint: int, fpp: float = 0.002,
-                    n_partitions: int | None = None):
+                    n_partitions: int | None = None,
+                    broadcast_verify_max: int = 4_000_000):
     """EXACT distributed semi-join, Bloom-accelerated: the key side
     builds a Bloom filter (tree-merged, broadcast via ray.put + the
     per-worker-process state cache), the probe side drops non-members
@@ -216,10 +217,27 @@ def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
     from .knn import cached_state
 
     m_bits, k = bloom_params(n_keys_hint, fpp)
-    # the key side is consumed TWICE (bitmap build + verify join) and
-    # is the small side by assumption — pin its blocks once instead of
+    # the key side is consumed TWICE (bitmap build + verify) and is
+    # the small side by assumption — pin its blocks once instead of
     # re-running its upstream read+filter lineage
     keys_ds = keys_ds.materialize()
+
+    # Adaptive exact path: a key side small enough to broadcast whole
+    # needs no sketch at all — ship the sorted key array once per
+    # worker process and the semi-join is ONE vectorized searchsorted
+    # filter: no bitmap, no repartition, no join aggregator pool (the
+    # pool startup alone costs ~1-2 s per join on this Ray version).
+    # The Bloom + exact-verify-join path below is the UNBOUNDED-keys
+    # design (the bitmap is the only broadcast state; membership is
+    # restored exactly by a keyed join).  4M int64 keys = 32 MB —
+    # comfortably under the per-worker broadcast budget.
+    n_keys = keys_ds.count()
+    if n_keys <= broadcast_verify_max:
+        from .agg import membership_filter
+
+        return membership_filter(probe_ds, keys_ds, probe_key,
+                                 build_key, keep=True)
+
     bits = bloom_build(keys_ds, build_key, m_bits, k)
     ref = ray.put(bits)
 

@@ -615,20 +615,23 @@ class TestIntervalJoin:
             "t0": np.array([0, 50, 290, 1000], dtype=np.int64),
             "t1": np.array([300, 51, 310, 1100], dtype=np.int64),
         })
-        out = interval_join(
-            rd.from_pandas(pts).repartition(3),
-            rd.from_pandas(ivs).repartition(2),
-            "ts", "t0", "t1", bucket_us=B,
-        ).to_pandas()
-        got = set(zip(out["pid"], out["iid"]))
         # brute-force oracle
         want = {(p.pid, i.iid) for p in pts.itertuples()
                 for i in ivs.itertuples() if i.t0 <= p.ts < i.t1}
-        assert got == want
-        assert (5, 0) not in got            # t1 exclusive
-        assert (4, 2) in got and (5, 2) in got  # straddling interval
-        # no duplicate (point, interval) pairs despite replication
-        assert len(out) == len(got)
+        # broadcast_max=0 pins the bucketized-replication path;
+        # default takes the small-side broadcast path — both exact
+        for bmax in (0, 100_000):
+            out = interval_join(
+                rd.from_pandas(pts).repartition(3),
+                rd.from_pandas(ivs).repartition(2),
+                "ts", "t0", "t1", bucket_us=B, broadcast_max=bmax,
+            ).to_pandas()
+            got = set(zip(out["pid"], out["iid"]))
+            assert got == want
+            assert (5, 0) not in got            # t1 exclusive
+            assert (4, 2) in got and (5, 2) in got  # straddler
+            # no duplicate (point, interval) pairs despite replication
+            assert len(out) == len(got)
 
     def test_datetime_columns(self):
         import numpy as np

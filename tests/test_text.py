@@ -289,14 +289,19 @@ class TestBloomSemiJoin:
             "pk": np.arange(2000, dtype=np.int64) % 700,
             "v": np.arange(2000, dtype=np.int64),
         })
-        out = bloom_semi_join(
-            rd.from_pandas(probe).repartition(4),
-            rd.from_pandas(keys).repartition(2),
-            "pk", "k", n_keys_hint=4, fpp=0.5,
-        ).to_pandas()
         want = probe[probe["pk"].isin(set(keys["k"]))]
-        assert sorted(out["v"]) == sorted(want["v"])
-        assert list(out.columns) == ["pk", "v"]  # left_semi keeps probe cols
+        # broadcast_verify_max=0 pins the Bloom + verify-JOIN path
+        # (the unbounded-keys design); default exercises the adaptive
+        # broadcast-exact path — both must be exact
+        for bmax in (0, 4_000_000):
+            out = bloom_semi_join(
+                rd.from_pandas(probe).repartition(4),
+                rd.from_pandas(keys).repartition(2),
+                "pk", "k", n_keys_hint=4, fpp=0.5,
+                broadcast_verify_max=bmax,
+            ).to_pandas()
+            assert sorted(out["v"]) == sorted(want["v"])
+            assert list(out.columns) == ["pk", "v"]  # probe cols kept
 
     def test_distinct_key_names(self):
         import ray.data as rd
