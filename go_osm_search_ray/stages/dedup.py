@@ -515,13 +515,20 @@ def near_dedup_keep(ds, id_col="doc_id", text_col="text", k_shingle: int = 3,
         if pairs_ds.count() == 0:
             return ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
         labels = cc_labels(pairs_ds, num_partitions=num_partitions)
-        drop = join_safe(labels.map_batches(
+        drop = labels.map_batches(
             lambda b: b[b["node"] != b["label"]][["node"]],
             batch_format="pandas",
-        ), num_partitions)
+        ).materialize()
         ids = ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
-        return ids.join(drop, "left_anti", num_partitions,
-                        on=(id_col,), right_on=("node",))
+        # small drop set: exact broadcast anti-filter skips the join
+        # aggregator pool; web-scale dup rates take the keyed anti-join
+        if drop.count() <= 4_000_000:
+            from .agg import membership_filter
+
+            return membership_filter(ids, drop, id_col, "node",
+                                     keep=False)
+        return ids.join(join_safe(drop, num_partitions), "left_anti",
+                        num_partitions, on=(id_col,), right_on=("node",))
 
     pairs = pairs_ds.to_pandas()  # bounded by near-dup pair count
 
