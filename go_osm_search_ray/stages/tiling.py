@@ -217,7 +217,8 @@ def vectorize_tiles(points_ds, res: int = geo.DEFAULT_TILE_RES,
 
 
 def rect_overlap_join(a_ds, b_ds, res: int = 4,
-                      a_id: str = "id_a", b_id: str = "id_b"):
+                      a_id: str = "id_a", b_id: str = "id_b",
+                      broadcast_max: int = 100_000):
     """Distributed 2-D rectangle-OVERLAP join (polygon-polygon overlay
     at bbox granularity): each rect explodes to the tiles its area
     touches at coarse `res`, the sides hash-join on tile_id, the exact
@@ -231,10 +232,21 @@ def rect_overlap_join(a_ds, b_ds, res: int = 4,
     count x covering-tile count (pick res so typical rects span O(1)
     tiles); per-tile work is a local vectorized merge — the 2-D
     analogue of the interval join's bucket replication.
+
+    Adaptive: an a-side with <= `broadcast_max` rects is broadcast
+    whole (ray.put once, per-worker-process cache) and the join
+    becomes a chunked all-pairs overlap scan over the streaming
+    b-side — no shuffle of EITHER side, no join aggregator pool
+    (same policy as agg.interval_join).  The tile-keyed join below
+    is the both-sides-unbounded path.
     """
     import pandas as pd
 
     from .agg import default_join_partitions, join_safe
+
+    a_ds = a_ds.materialize()
+    if a_ds.count() <= broadcast_max:
+        return _rect_overlap_broadcast(a_ds, b_ds, a_id, b_id)
 
     n = 1 << res
     dlat, dlon = 180.0 / n, 360.0 / n
@@ -293,3 +305,54 @@ def rect_overlap_join(a_ds, b_ds, res: int = 4,
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def _rect_overlap_broadcast(a_ds, b_ds, a_id: str, b_id: str):
+    """Small-a-side rectangle overlap join: the a rectangles ride the
+    object store once (per-worker-process cache); each streaming b
+    batch is tested all-pairs in cache-sized chunks (n_a x chunk
+    capped at ~4M cells), zero shuffle.  Output schema matches the
+    tile-keyed path: (a_id, b_id, overlap_deg2)."""
+    import pandas as pd
+    import ray
+
+    from .knn import cached_state
+
+    a_df = a_ds.to_pandas()
+    ref = ray.put(a_df)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        a = cached_state(f"rectjoin-{id(ref)}", lambda: ray.get(ref))
+        empty = pd.DataFrame({a_id: pd.Series([], dtype=np.int64),
+                              b_id: pd.Series([], dtype=np.int64),
+                              "overlap_deg2": pd.Series([], dtype=np.float64)})
+        if len(b) == 0 or len(a) == 0:
+            return empty
+        al0 = a["lat0"].to_numpy(np.float64)[:, None]
+        al1 = a["lat1"].to_numpy(np.float64)[:, None]
+        ao0 = a["lon0"].to_numpy(np.float64)[:, None]
+        ao1 = a["lon1"].to_numpy(np.float64)[:, None]
+        aid = a["id"].to_numpy(np.int64)
+        bid = b["id"].to_numpy(np.int64)
+        chunk = max(1, 4_000_000 // len(a))
+        outs = []
+        for s in range(0, len(b), chunk):
+            e = min(s + chunk, len(b))
+            bl0 = b["lat0"].to_numpy(np.float64)[None, s:e]
+            bl1 = b["lat1"].to_numpy(np.float64)[None, s:e]
+            bo0 = b["lon0"].to_numpy(np.float64)[None, s:e]
+            bo1 = b["lon1"].to_numpy(np.float64)[None, s:e]
+            il0 = np.maximum(al0, bl0)
+            il1 = np.minimum(al1, bl1)
+            io0 = np.maximum(ao0, bo0)
+            io1 = np.minimum(ao1, bo1)
+            ai, bi = np.nonzero((il0 < il1) & (io0 < io1))
+            if len(ai):
+                outs.append(pd.DataFrame({
+                    a_id: aid[ai],
+                    b_id: bid[bi + s],
+                    "overlap_deg2": ((il1 - il0) * (io1 - io0))[ai, bi],
+                }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return b_ds.map_batches(match, batch_format="pandas")

@@ -271,10 +271,12 @@ class TestRasterVector:
 
 @pytest.mark.usefixtures("ray_session")
 class TestRectOverlapJoin:
-    def test_matches_brute_force_with_boundary_alignments(self):
+    @pytest.mark.parametrize("broadcast_max", [0, 100_000])
+    def test_matches_brute_force_with_boundary_alignments(self, broadcast_max):
         """Random rects (some edges exactly ON res-4 tile boundaries)
         vs an O(n*m) numpy oracle: every intersecting pair exactly
-        once, correct overlap area."""
+        once, correct overlap area.  broadcast_max=0 pins the
+        tile-keyed join path; the default takes the broadcast scan."""
         import itertools
 
         import ray.data as rd
@@ -301,7 +303,8 @@ class TestRectOverlapJoin:
         b = rects(60, np.arange(60, dtype=np.int64))
         got = tiling.rect_overlap_join(
             rd.from_pandas(a).repartition(3),
-            rd.from_pandas(b).repartition(4), res=4).to_pandas()
+            rd.from_pandas(b).repartition(4), res=4,
+            broadcast_max=broadcast_max).to_pandas()
         want = {}
         for i, j in itertools.product(range(40), range(60)):
             ilat0 = max(a["lat0"][i], b["lat0"][j])
