@@ -2822,9 +2822,17 @@ def q_tile_mosaic(sf_dir: str):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
-        sums = np.zeros((n, 3), dtype=np.int64)
-        for i, (blob, fmt) in enumerate(zip(b["bytes"], b["fmt"])):
-            sums[i] = codecs.decode(blob, fmt).astype(np.int64).sum(axis=(0, 1))
+        imgs = [codecs.decode(blob, fmt)
+                for blob, fmt in zip(b["bytes"], b["fmt"])]
+        if n and all(im.shape == imgs[0].shape for im in imgs):
+            # uniform-shape fast path: ONE stacked allocation + a
+            # batch-wide channel sum (the AverageHashInt pattern —
+            # allocation churn per tiny image is the measured cost)
+            sums = np.stack(imgs).sum(axis=(1, 2), dtype=np.int64)
+        else:
+            sums = np.zeros((n, 3), dtype=np.int64)
+            for i, im in enumerate(imgs):
+                sums[i] = im.sum(axis=(0, 1), dtype=np.int64)
         lat, lon = geo.phash_to_latlon(b["phash"].to_numpy())
         df = pd.DataFrame({"tile_id": geo.tile_id(lat, lon, TILE_RES),
                            "n_images": np.ones(n, dtype=np.int64),
