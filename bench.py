@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "bloom_semijoin", "heavy_hitters", "distance_join",
     "phash_near_pairs", "phash_dedup_keep", "tile_mosaic",
     "overlap_join", "track_lengths", "zorder_assign",
-    "quality_filter", "pq_search",
+    "quality_filter", "pq_search", "repetition_signals",
 ]
 
 

@@ -1217,6 +1217,59 @@ FROM documents
 """
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style per-document repetition signals (Rae et al. 2021):
+    distinct-token fraction + top-unigram / top-bigram coverage as
+    integer numerator/denominator pairs (text.repetition_signals).
+    A pure map stage — streams at any scale."""
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: text.repetition_signals(b),
+                     batch_format="pandas")
+
+
+SQL_REPETITION = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+u AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+uni AS (SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS top_uni FROM u GROUP BY 1),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+       FROM t, unnest(range(1, len(toks))) AS r(i)),
+bgm AS (SELECT doc_id, MAX(c) AS top_bg
+        FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(uni.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(uni.top_uni, 0) AS BIGINT) AS top_unigram_n,
+       CAST(COALESCE(bgm.top_bg, 0) AS BIGINT) AS top_bigram_n,
+       CAST(GREATEST(len(t.toks) - 1, 0) AS BIGINT) AS n_bigrams
+FROM t LEFT JOIN uni ON uni.doc_id = t.doc_id
+       LEFT JOIN bgm ON bgm.doc_id = t.doc_id
+"""
+
+
+def q_repetition_filter(sf_dir: str):
+    """Repetition GATE: keep documents whose top-bigram coverage is
+    <= 20% of bigrams AND whose distinct-token count is >= 30% of
+    tokens (the Gopher thresholds, integer cross-multiplied so no
+    float enters the predicate).  Output: surviving doc_ids."""
+    sig = q_repetition_signals(sf_dir)
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (5 * b["top_bigram_n"] <= b["n_bigrams"]) & \
+               (10 * b["n_distinct"] >= 3 * b["n_tokens"])
+        return b.loc[keep, ["doc_id"]]
+
+    return sig.map_batches(gate, batch_format="pandas")
+
+
+SQL_REPETITION_FILTER = f"""
+WITH s AS ({SQL_REPETITION})
+SELECT doc_id FROM s
+WHERE 5 * top_bigram_n <= n_bigrams AND 10 * n_distinct >= 3 * n_tokens
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 
@@ -3306,6 +3359,8 @@ def registry():
         "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+        "repetition_signals": (q_repetition_signals, SQL_REPETITION),
+        "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

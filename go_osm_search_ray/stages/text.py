@@ -695,3 +695,49 @@ def token_counts(batch: pd.DataFrame, id_col="doc_id", text_col="text") -> pd.Da
             .astype(np.int64),
         }
     )
+
+
+def repetition_signals(batch: pd.DataFrame, id_col="doc_id",
+                       text_col="text") -> pd.DataFrame:
+    """Per-document REPETITION signals (the Gopher repetition rules,
+    Rae et al. 2021 — public): distinct-token fraction and
+    top-unigram / top-bigram coverage, emitted as INTEGER numerators
+    and denominators (the repo's oracle design rule; the ratios are
+    one division away).  Output per doc: (doc_id, n_tokens,
+    n_distinct, top_unigram_n, top_bigram_n, n_bigrams).
+
+    Vectorized batch-wide: one explode of the token lists to a long
+    (doc, token) frame, unigram stats from one groupby, bigrams from
+    the shifted-neighbor mask — no per-document Python beyond the
+    list concatenation the tokenizer already produces."""
+    toks = tokenize_series(batch[text_col])
+    n = len(batch)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    ids = batch[id_col].to_numpy()
+    out = pd.DataFrame({
+        id_col: ids,
+        "n_tokens": lens,
+        "n_distinct": np.zeros(n, dtype=np.int64),
+        "top_unigram_n": np.zeros(n, dtype=np.int64),
+        "top_bigram_n": np.zeros(n, dtype=np.int64),
+        "n_bigrams": np.maximum(lens - 1, 0),
+    })
+    if lens.sum() == 0:
+        return out
+    flat = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    uni = (pd.DataFrame({"d": doc, "w": flat})
+             .groupby(["d", "w"], sort=False).size().reset_index(name="c"))
+    per = uni.groupby("d", sort=False)["c"].agg(["count", "max"])
+    out.loc[per.index, "n_distinct"] = per["count"].to_numpy(np.int64)
+    out.loc[per.index, "top_unigram_n"] = per["max"].to_numpy(np.int64)
+    same = doc[1:] == doc[:-1]
+    if same.any():
+        bg = pd.DataFrame({
+            "d": doc[:-1][same],
+            "b": pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same]),
+        })
+        bper = (bg.groupby(["d", "b"], sort=False).size()
+                  .groupby(level="d", sort=False).max())
+        out.loc[bper.index, "top_bigram_n"] = bper.to_numpy(np.int64)
+    return out

@@ -217,6 +217,30 @@ class TestAnalysis:
         ws = docs.set_index("doc_id")["text"].str.split().str.len()
         assert (tc["ws_tokens"] == ws).all()
 
+    def test_repetition_signals_edge_cases(self):
+        """Hand-computed Gopher repetition signals: empty doc,
+        single-token, all-identical, and a repeated-bigram doc —
+        vectorized batch path vs per-doc Counter oracle."""
+        from collections import Counter
+
+        b = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["", "word", "spam spam spam spam",
+                     "a b a b a b c", "one two three four"],
+        })
+        got = text.repetition_signals(b).set_index("doc_id")
+        for _, row in b.iterrows():
+            ws = row["text"].lower().split()
+            g = got.loc[row["doc_id"]]
+            assert g["n_tokens"] == len(ws)
+            assert g["n_distinct"] == len(set(ws))
+            assert g["top_unigram_n"] == (max(Counter(ws).values())
+                                          if ws else 0)
+            bgs = [f"{a} {b2}" for a, b2 in zip(ws, ws[1:])]
+            assert g["n_bigrams"] == max(len(ws) - 1, 0)
+            assert g["top_bigram_n"] == (max(Counter(bgs).values())
+                                         if bgs else 0)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestHLLSketch:
