@@ -1270,6 +1270,32 @@ WHERE 5 * top_bigram_n <= n_bigrams AND 10 * n_distinct >= 3 * n_tokens
 """
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_windows(sf_dir: str):
+    """Sequence-packing chunker: overlapping token windows per
+    document (size 32, stride 24) as integer chunk coordinates
+    (text.chunk_windows) — the training-data export step that turns
+    documents into model context windows."""
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: text.chunk_windows(
+            b, size=CHUNK_SIZE, stride=CHUNK_STRIDE),
+            batch_format="pandas")
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH t AS (SELECT doc_id, len({TOK}) AS n FROM documents),
+c AS (SELECT doc_id, n,
+             unnest(range(0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT))) AS i
+      FROM t WHERE n > 0)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_SIZE}, n - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tok
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 
@@ -1579,6 +1605,73 @@ sim AS (SELECT d.query_id, d.vec_id,
                    JOIN norms nv ON nv.vec_id = d.vec_id
         WHERE d.vec_id != d.query_id)
 SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM sim WHERE rank <= 5
+"""
+
+
+def q_hybrid_search_rrf(sf_dir: str):
+    """HYBRID retrieval with Reciprocal Rank Fusion (Cormack et al.
+    2009 — public): BM25F lexical top-10 over documents + embedding
+    cosine top-10 (vec 0 as the query vector; vec_id is doc-aligned),
+    fused by score = sum over lists of 1/(60 + rank).  Both legs are
+    the engine's existing k-bounded partial top-ks (no global sort);
+    the fusion itself is O(k) driver work on 20 rows.  Output is
+    integer-only (the oracle design rule): (fused_rank, doc_id,
+    bm25_rank, cos_rank), rank 0 = absent from that leg; ordering
+    score DESC then doc_id, identical float expression in the SQL."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lex = text.top_k(text.bm25f_score(docs, BM25_TERMS), k=10)
+    lex = lex[["rank", "doc_id"]].rename(columns={"rank": "bm25_rank"})
+
+    emb_t = read_table_arrow(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    q0 = {"query_id": emb_t["vec_id"].to_pylist()[:1],
+          "embedding": emb_t["embedding"].to_pylist()[:1]}
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    vec = embed.cosine_topk(ds, q0, k=10).to_pandas()
+    vec = vec[["rank", "vec_id"]].rename(
+        columns={"rank": "cos_rank", "vec_id": "doc_id"})
+
+    f = lex.merge(vec, on="doc_id", how="outer").fillna(0)
+    br = f["bm25_rank"].to_numpy(np.int64)
+    cr = f["cos_rank"].to_numpy(np.int64)
+    score = np.where(br > 0, 1.0 / (60.0 + br), 0.0) + \
+        np.where(cr > 0, 1.0 / (60.0 + cr), 0.0)
+    f = f.assign(_s=score).sort_values(
+        ["_s", "doc_id"], ascending=[False, True], kind="mergesort").head(10)
+    f["fused_rank"] = np.arange(1, len(f) + 1, dtype=np.int64)
+    return (f[["fused_rank", "doc_id", "bm25_rank", "cos_rank"]]
+            .astype(np.int64).reset_index(drop=True))
+
+
+SQL_HYBRID_RRF = f"""
+WITH lex AS (SELECT rank AS bm25_rank, doc_id FROM ({SQL_BM25F})),
+vec AS (
+  SELECT rank AS cos_rank, vec_id AS doc_id FROM (
+    WITH v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)),
+    norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, i, x FROM v WHERE vec_id = 0),
+    dot AS (SELECT q.query_id, v.vec_id, SUM(q.x*v.x) AS d
+            FROM q JOIN v ON q.i = v.i GROUP BY 1, 2),
+    sim AS (SELECT d.vec_id, d.d/(nq.nrm*nv.nrm) AS cosine,
+                   row_number() OVER (ORDER BY d.d/(nq.nrm*nv.nrm) DESC,
+                                      d.vec_id) AS rank
+            FROM dot d JOIN norms nq ON nq.vec_id = d.query_id
+                       JOIN norms nv ON nv.vec_id = d.vec_id
+            WHERE d.vec_id != d.query_id)
+    SELECT rank, vec_id FROM sim WHERE rank <= 10)),
+f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(l.bm25_rank, 0) AS bm25_rank,
+             COALESCE(v.cos_rank, 0) AS cos_rank
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id),
+s AS (SELECT doc_id, bm25_rank, cos_rank,
+             (CASE WHEN bm25_rank > 0 THEN 1.0/(60.0 + bm25_rank) ELSE 0.0 END)
+           + (CASE WHEN cos_rank > 0 THEN 1.0/(60.0 + cos_rank) ELSE 0.0 END) AS sc
+      FROM f)
+SELECT CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS fused_rank,
+       doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cos_rank AS BIGINT) AS cos_rank
+FROM s ORDER BY sc DESC, doc_id LIMIT 10
 """
 
 
@@ -3361,6 +3454,7 @@ def registry():
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "repetition_signals": (q_repetition_signals, SQL_REPETITION),
         "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+        "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
@@ -3373,6 +3467,7 @@ def registry():
         "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
         # embeddings
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
+        "hybrid_search_rrf": (q_hybrid_search_rrf, SQL_HYBRID_RRF),
         "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),
         "ivf_search": (q_ivf_search, SQL_EMBEDDING_KNN),
         "pq_encode": (q_pq_encode, _pq_encode_sql()),

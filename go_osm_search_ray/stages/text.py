@@ -697,6 +697,32 @@ def token_counts(batch: pd.DataFrame, id_col="doc_id", text_col="text") -> pd.Da
     )
 
 
+def chunk_windows(batch: pd.DataFrame, id_col="doc_id", text_col="text",
+                  size: int = 32, stride: int = 24) -> pd.DataFrame:
+    """CONTEXT-WINDOW CHUNKING (sequence packing for training / RAG):
+    each document yields overlapping token windows starting at
+    0, stride, 2*stride, ... while start < n_tokens; a window covers
+    [start, min(start + size, n)).  Emitted as integer chunk
+    coordinates (doc_id, chunk_id, start_tok, n_tok) — the actual
+    token slice is a downstream gather, so what shuffles is O(chunks)
+    small rows, never the text.  Fully vectorized variable-fanout
+    explode (np.repeat over ceil(n/stride) per doc)."""
+    toks = tokenize_series(batch[text_col])
+    n = toks.str.len().to_numpy(dtype=np.int64)
+    n_chunks = -(-n // stride)  # ceil; 0 tokens -> 0 chunks
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+    total = int(n_chunks.sum())
+    first = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    ci = np.arange(total, dtype=np.int64) - first
+    start = ci * stride
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy()[rep],
+        "chunk_id": ci,
+        "start_tok": start,
+        "n_tok": np.minimum(size, n[rep] - start),
+    })
+
+
 def repetition_signals(batch: pd.DataFrame, id_col="doc_id",
                        text_col="text") -> pd.DataFrame:
     """Per-document REPETITION signals (the Gopher repetition rules,

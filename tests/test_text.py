@@ -217,6 +217,26 @@ class TestAnalysis:
         ws = docs.set_index("doc_id")["text"].str.split().str.len()
         assert (tc["ws_tokens"] == ws).all()
 
+    def test_chunk_windows_edge_cases(self):
+        """Overlap chunking vs a per-doc loop oracle: empty doc (no
+        chunks), doc shorter than one window, exact-multiple length,
+        and a tail shorter than stride."""
+        b = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["", "a b c", " ".join(f"w{i}" for i in range(8)),
+                     " ".join(f"w{i}" for i in range(11))],
+        })
+        got = text.chunk_windows(b, size=4, stride=3)
+        want = []
+        for _, row in b.iterrows():
+            n = len(row["text"].split())
+            start = 0
+            while start < n:
+                want.append((row["doc_id"], start // 3, start,
+                             min(4, n - start)))
+                start += 3
+        assert (list(map(tuple, got.to_numpy())) == want)
+
     def test_repetition_signals_edge_cases(self):
         """Hand-computed Gopher repetition signals: empty doc,
         single-token, all-identical, and a repeated-bigram doc —
