@@ -1385,6 +1385,35 @@ WHERE p.common * 5 >= sa.sz + sb.sz - p.common
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/test decontamination: parity-split the corpus (even
+    doc_id = train, odd = test) and flag every test doc sharing ANY
+    5-token shingle with the train split (dedup.decontaminate)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(parity):
+        return docs.map_batches(
+            lambda b, p=parity: b[b["doc_id"] % 2 == p],
+            batch_format="pandas")
+
+    return dedup.decontaminate(split(0), split(1), k_shingle=5)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4] END AS s
+       FROM toks, unnest(range(1, GREATEST(len(t)-3, 2))) AS u(i)
+       WHERE len(t) > 0),
+tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0)
+SELECT DISTINCT a.doc_id
+FROM sh a JOIN tr ON a.s = tr.s
+WHERE a.doc_id % 2 = 1
+"""
+
+
 def q_near_dedup_keep(sf_dir: str):
     """End-to-end near-dedup: shingle-Jaccard pairs -> connected
     components -> keep min-id per component.  Oracle = recursive-CTE
@@ -3455,6 +3484,7 @@ def registry():
         "repetition_signals": (q_repetition_signals, SQL_REPETITION),
         "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
         "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

@@ -883,3 +883,56 @@ def incremental_exact_dedup(state_dir: str, ds, epoch: int,
     kept.write_parquet(os.path.join(state_dir, f"epoch={epoch}"))
     return rd.read_parquet(os.path.join(state_dir, f"epoch={epoch}"),
                            columns=[id_col, "epoch"])
+
+
+def decontaminate(train_ds, test_ds, id_col="doc_id", text_col="text",
+                  k_shingle: int = 5, broadcast_max: int = 4_000_000):
+    """TRAIN/TEST DECONTAMINATION — the n-gram overlap check an LLM
+    training pipeline runs before trusting its eval split: a test
+    document is CONTAMINATED if ANY of its k-token shingles appears
+    anywhere in the train split.  Long shingles keep the check
+    discriminative (k=5 here; published recipes use ~13-grams —
+    same operator, bigger k).
+
+    Scale shape: both splits reduce to 64-bit md5 shingle hashes
+    (per-batch-distinct; the corpus text never shuffles).  The train
+    hash set is either BROADCAST (<= `broadcast_max` rows after
+    materialization: one sorted int64 array per worker process,
+    vectorized searchsorted semi-join — no shuffle of either side) or
+    met in a keyed hash join after a bucketed exact distinct.  The
+    final per-doc distinct is bucket-hashed, never driver-side.
+    Output: one row per contaminated test doc_id.
+    Reference analogue: cross-set membership of the dedup resolution
+    scan (indexer.go:582-618), recast across splits."""
+    from .agg import (bucketed_group_apply, default_join_partitions,
+                      join_safe, membership_filter)
+
+    def train_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        hvs = _shingle_hashes_batch(tokenize_series(b[text_col]), k_shingle)
+        u = (np.unique(np.concatenate(hvs)) if hvs
+             else np.array([], dtype=np.uint64))
+        return pd.DataFrame({"sh": u.astype(np.int64)})
+
+    def test_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        hvs = _shingle_hashes_batch(tokenize_series(b[text_col]), k_shingle)
+        lens = np.array([len(h) for h in hvs], dtype=np.int64)
+        ids = np.repeat(b[id_col].to_numpy(np.int64), lens)
+        sh = (np.concatenate(hvs).astype(np.int64) if len(ids)
+              else np.array([], dtype=np.int64))
+        return pd.DataFrame({id_col: ids, "sh": sh})
+
+    tr = train_ds.map_batches(train_hashes,
+                              batch_format="pandas").materialize()
+    probe = test_ds.map_batches(test_pairs, batch_format="pandas")
+    if tr.count() <= broadcast_max:
+        hits = membership_filter(probe, tr, "sh", "sh", keep=True)
+    else:
+        n_parts = default_join_partitions()
+        tr_d = bucketed_group_apply(
+            tr, ["sh"], lambda g: g.drop_duplicates())
+        hits = join_safe(probe, n_parts).join(
+            join_safe(tr_d, n_parts), "inner", n_parts, on=("sh",))
+    ids = hits.map_batches(
+        lambda b: b[[id_col]].drop_duplicates(), batch_format="pandas")
+    return bucketed_group_apply(ids, [id_col],
+                                lambda g: g.drop_duplicates())

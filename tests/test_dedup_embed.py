@@ -51,6 +51,39 @@ class TestExactDedup:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDecontaminate:
+    @pytest.mark.parametrize("broadcast_max", [0, 4_000_000])
+    def test_planted_contamination(self, broadcast_max):
+        """Test docs copying a >=5-gram from train are flagged; docs
+        sharing only shorter overlaps are not.  broadcast_max=0 pins
+        the keyed-join path; the default takes the broadcast scan."""
+        import ray.data as rd
+
+        train = pd.DataFrame({
+            "doc_id": [0, 2],
+            "text": ["the quick brown fox jumps over the lazy dog",
+                     "completely different training material here now"],
+        })
+        test = pd.DataFrame({
+            "doc_id": [1, 3, 5],
+            "text": [
+                # contains train's 5-gram "quick brown fox jumps over"
+                "intro quick brown fox jumps over outro words",
+                # shares only 2-grams with train -> clean
+                "the quick red fox sleeps under a tree",
+                # clean, disjoint vocabulary
+                "unrelated sentences about nothing shared at all",
+            ],
+        })
+        got = dedup.decontaminate(
+            rd.from_pandas(train).repartition(2),
+            rd.from_pandas(test).repartition(2),
+            k_shingle=5, broadcast_max=broadcast_max,
+        ).to_pandas()
+        assert sorted(got["doc_id"]) == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestNameBboxDedup:
     def test_reference_semantics(self):
         """Same name, point inside earlier record's bbox -> dropped
