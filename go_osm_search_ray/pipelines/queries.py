@@ -2089,6 +2089,53 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_HORIZON_US = 86_400_000_000  # 24 h per consecutive step
+
+
+def q_events_funnel(sf_dir: str):
+    """FUNNEL analysis (earliest-anchor greedy matching, the classic
+    product-analytics semantics): per user, t1 = earliest 'view',
+    t2 = earliest 'click' in (t1, t1+24h], t3 = earliest 'purchase'
+    in (t2, t2+24h]; output (user_id, steps_completed in 0..3).
+    Bucket-hash on user_id; inside a bucket each funnel step is ONE
+    vectorized map-prev + filter + groupby-min — no per-user Python
+    (agg.funnel_steps).  The keyed sequential-pattern analogue of the
+    geofence transition matrix (fence_index.go:50-73)."""
+    from ..stages.agg import funnel_steps
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, key="user_id", ts_col="ts",
+                        type_col="event_type", steps=FUNNEL_STEPS,
+                        horizon_us=FUNNEL_HORIZON_US)
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + to_microseconds({FUNNEL_HORIZON_US})
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+         AND e.ts <= s2.t2 + to_microseconds({FUNNEL_HORIZON_US})
+       GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS steps_completed
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id
+"""
+
+
 def q_distance_join(sf_dir: str):
     """All-pairs spatial θ-join: every customer pair within 200 km,
     with NO broadcast side — cell-partitioned home/ghost replication +
@@ -3485,6 +3532,7 @@ def registry():
         "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
         "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

@@ -407,3 +407,41 @@ def asof_join_tagged(ds, key, ts_col, side_col, left_val, right_val,
         .groupby("_bucket")
         .map_groups(join_bucket, batch_format="pandas")
     )
+
+
+def funnel_steps(ds, key: str, ts_col: str, type_col: str,
+                 steps: list[str], horizon_us: int, n_buckets: int = 64):
+    """FUNNEL analysis with earliest-anchor greedy matching (the
+    classic product-analytics semantics): per key, t1 = earliest
+    steps[0] event; t_{i+1} = earliest steps[i+1] event in
+    (t_i, t_i + horizon]; output one row per key with
+    steps_completed in 0..len(steps).
+
+    Scale shape: bucket-hash on the key (unbounded key spaces — the
+    sessionize/lag pattern); inside a bucket every funnel step is one
+    vectorized map-prev + mask + groupby-min over all the bucket's
+    keys at once, never per-key Python.  Reference analogue: the
+    staged status resolution of the geofence transition matrix
+    (fence_index.go:50-73) applied to an ordered event sequence."""
+    import numpy as np
+
+    H = pd.Timedelta(microseconds=horizon_us)
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key].unique()
+        reached = pd.Series(np.int64(0), index=keys)
+        cur = None
+        for i, step in enumerate(steps):
+            rows = g[g[type_col] == step]
+            if i > 0:
+                pv = rows[key].map(cur)
+                rows = rows[(rows[ts_col] > pv) & (rows[ts_col] <= pv + H)]
+            cur = rows.groupby(key)[ts_col].min()
+            if cur.empty:
+                break
+            reached.loc[cur.index] = np.int64(i + 1)
+        return pd.DataFrame({key: reached.index.to_numpy(np.int64),
+                             "steps_completed": reached.to_numpy(np.int64)})
+
+    return bucketed_group_apply(ds, [key], funnel_bucket,
+                                n_buckets=n_buckets)

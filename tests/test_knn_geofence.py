@@ -596,6 +596,47 @@ class TestAsofJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestFunnelSteps:
+    def test_greedy_horizon_semantics(self):
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.agg import funnel_steps
+
+        t = pd.to_datetime
+        df = pd.DataFrame([
+            # u1: full funnel inside horizons -> 3
+            (1, t("2024-01-01 00:00"), "view"),
+            (1, t("2024-01-01 00:30"), "click"),
+            (1, t("2024-01-01 01:00"), "purchase"),
+            # u2: click 2h after earliest view -> outside 1h horizon -> 1
+            (2, t("2024-01-01 00:00"), "view"),
+            (2, t("2024-01-01 02:00"), "click"),
+            # u3: click BEFORE the earliest view never matches -> 1
+            (3, t("2024-01-01 01:00"), "view"),
+            (3, t("2024-01-01 00:30"), "click"),
+            # u4: greedy anchor = EARLIEST view (00:00); click at 00:50
+            # matches it; purchase 00:55 follows -> 3 (a later view at
+            # 00:45 is ignored by the earliest-anchor rule)
+            (4, t("2024-01-01 00:00"), "view"),
+            (4, t("2024-01-01 00:45"), "view"),
+            (4, t("2024-01-01 00:50"), "click"),
+            (4, t("2024-01-01 00:55"), "purchase"),
+            # u5: no view at all -> 0
+            (5, t("2024-01-01 00:00"), "click"),
+            # u6: click exactly AT the anchor ts is NOT after it -> 1
+            (6, t("2024-01-01 00:00"), "view"),
+            (6, t("2024-01-01 00:00"), "click"),
+        ], columns=["user_id", "ts", "event_type"])
+        out = funnel_steps(
+            rd.from_pandas(df).repartition(3), key="user_id",
+            ts_col="ts", type_col="event_type",
+            steps=["view", "click", "purchase"],
+            horizon_us=3_600_000_000,
+        ).to_pandas().set_index("user_id")["steps_completed"]
+        assert out.to_dict() == {1: 3, 2: 1, 3: 1, 4: 3, 5: 0, 6: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestIntervalJoin:
     def test_containment_boundaries_and_replication(self):
         import numpy as np
