@@ -1995,6 +1995,45 @@ WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 1000 < 100
 """
 
 
+def q_source_mix_sample(sf_dir: str):
+    """CORPUS MIXTURE REBALANCING (the source/language mixing step of
+    a training-data pipeline): downsample every language stratum to
+    the smallest stratum's size via DETERMINISTIC hash sampling.
+    Acceptance rates are data-derived integers
+    (ppm = min_count * 1e6 // count_lang, exactly mirrored in SQL);
+    the per-stratum count is a bounded-key driver combine (languages,
+    not documents), the rate map rides into one streaming hash-filter
+    map — two scans, no shuffle of the corpus."""
+    from ..stages.agg import two_phase_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("lang", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = two_phase_agg(ds, partial, ["lang"], ["n"], combine="driver")
+    mn = int(counts["n"].min())
+    ppm = {l: (mn * 1_000_000) // int(n)
+           for l, n in zip(counts["lang"], counts["n"])}
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["lang"].map(ppm).to_numpy(np.int64)
+        h = (b["doc_id"].to_numpy(np.int64) * 2654435761) % 1_000_000
+        return b[h < r][["doc_id", "lang"]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+SQL_SOURCE_MIX = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+r AS (SELECT lang, (m.mn * 1000000) // n AS ppm
+      FROM c, (SELECT MIN(n) AS mn FROM c) m)
+SELECT d.doc_id, d.lang FROM documents d JOIN r ON r.lang = d.lang
+WHERE (CAST(d.doc_id AS BIGINT) * 2654435761) % 1000000 < r.ppm
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """EXACT distributed quantiles per group via mergeable integer
     histograms: per-batch (group, value-in-cents) partial counts ->
@@ -3533,6 +3572,7 @@ def registry():
         "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+        "source_mix_sample": (q_source_mix_sample, SQL_SOURCE_MIX),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
