@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "phash_near_pairs", "phash_dedup_keep", "tile_mosaic",
     "overlap_join", "track_lengths", "zorder_assign",
     "quality_filter", "pq_search", "repetition_signals",
+    "decontaminate", "events_funnel", "hybrid_search_rrf",
+    "chunk_windows", "source_mix_sample",
 ]
 
 
