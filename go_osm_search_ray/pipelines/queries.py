@@ -1995,6 +1995,28 @@ WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 1000 < 100
 """
 
 
+def q_dict_encode(sf_dir: str):
+    """Categorical dictionary encoding of event_type (dense
+    lexicographic-rank ids, agg.dictionary_encode) — the columnar
+    re-expression of the reference's feature-tag encode (SURVEY M10;
+    osm tag id maps).  Output: (event_id, event_type_id)."""
+    from ..stages.agg import dictionary_encode
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return dictionary_encode(ds, "event_type", "event_type_id",
+                             id_cols=["event_id"])
+
+
+SQL_DICT_ENCODE = """
+WITH d AS (SELECT event_type,
+                  CAST(dense_rank() OVER (ORDER BY event_type) - 1
+                       AS BIGINT) AS event_type_id
+           FROM (SELECT DISTINCT event_type FROM events))
+SELECT e.event_id, d.event_type_id
+FROM events e JOIN d ON d.event_type = e.event_type
+"""
+
+
 def q_source_mix_sample(sf_dir: str):
     """CORPUS MIXTURE REBALANCING (the source/language mixing step of
     a training-data pipeline): downsample every language stratum to
@@ -3573,6 +3595,7 @@ def registry():
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
         "source_mix_sample": (q_source_mix_sample, SQL_SOURCE_MIX),
+        "dict_encode": (q_dict_encode, SQL_DICT_ENCODE),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

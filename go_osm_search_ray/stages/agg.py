@@ -445,3 +445,37 @@ def funnel_steps(ds, key: str, ts_col: str, type_col: str,
 
     return bucketed_group_apply(ds, [key], funnel_bucket,
                                 n_buckets=n_buckets)
+
+
+def dictionary_encode(ds, col: str, out_col: str | None = None,
+                      id_cols: list[str] | None = None):
+    """CATEGORICAL DICTIONARY ENCODING (the feature-tag encode of the
+    reference's tag pipeline, osm_object.go's tag id map, re-expressed
+    columnar): assign each distinct value of `col` its dense rank in
+    LEXICOGRAPHIC order (deterministic across runs and engines), then
+    stream the mapping over the dataset.
+
+    Scale shape: per-batch distinct -> small driver combine (the
+    category space is bounded by construction — that is what makes a
+    column categorical; an unbounded key space belongs in
+    bucketed_group_apply instead) -> the sorted dict broadcasts in the
+    task closure; the encode pass is one vectorized map per batch.
+    Returns the dataset with `out_col` (int64) replacing `col` unless
+    id_cols narrows the projection."""
+    import numpy as np
+
+    out_col = out_col or f"{col}_id"
+    parts = ds.map_batches(
+        lambda b: b[[col]].drop_duplicates(), batch_format="pandas"
+    ).to_pandas()
+    values = np.sort(parts[col].unique())
+    mapping = {v: np.int64(i) for i, v in enumerate(values)}
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out_col] = b[col].map(mapping).astype(np.int64)
+        cols = (id_cols + [out_col]) if id_cols else \
+            [c for c in b.columns if c != col]
+        return b[cols]
+
+    return ds.map_batches(encode, batch_format="pandas")
