@@ -1995,6 +1995,66 @@ WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 1000 < 100
 """
 
 
+COHORT_EPOCH = np.datetime64("2024-01-01")
+
+
+def q_retention_cohorts(sf_dir: str):
+    """RETENTION COHORT matrix: cohort_week = week of a user's first
+    event (weeks since 2024-01-01, the event log's epoch), and for
+    each (cohort_week, week_offset) the count of cohort users active
+    that week.  The activity signal is deterministically hash-sampled
+    purchases (10%) so the matrix is a real retention triangle, not a
+    saturated grid.  Bucket-hash on user_id (each user's history lands
+    in exactly one bucket, so per-bucket counts are disjoint partial
+    sums), vectorized distinct + transform-min per bucket, then a
+    bounded-key (weeks x weeks) driver combine."""
+    from ..stages.agg import bucketed_group_apply, two_phase_agg
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["event_id"].to_numpy(np.int64) * 2654435761) % 1000
+        keep = (b["event_type"] == "purchase") & (h < 100)
+        return b.loc[keep, ["user_id", "ts"]]
+
+    ds = ds.map_batches(sample, batch_format="pandas")
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wk = (g["ts"].to_numpy("datetime64[D]") - COHORT_EPOCH
+              ).astype(np.int64) // 7
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                          "wk": wk}).drop_duplicates()
+        first = d.groupby("u")["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": first.to_numpy(np.int64),
+                            "week_offset": (d["wk"] - first).to_numpy(np.int64)})
+        return (out.groupby(["cohort_week", "week_offset"], sort=False,
+                            as_index=False).size()
+                   .rename(columns={"size": "n_users"}))
+
+    partials = bucketed_group_apply(ds, ["user_id"], cohort_bucket)
+    out = two_phase_agg(partials, lambda b: b,
+                        ["cohort_week", "week_offset"], ["n_users"],
+                        combine="driver")
+    return out.astype(np.int64)
+
+
+SQL_RETENTION = """
+WITH e AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase'
+             AND (CAST(event_id AS BIGINT) * 2654435761) % 1000 < 100),
+w AS (SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', ts) // 7 AS wk
+      FROM e),
+f AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
+       CAST(w.wk - f.cohort AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w JOIN f ON f.user_id = w.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_dict_encode(sf_dir: str):
     """Categorical dictionary encoding of event_type (dense
     lexicographic-rank ids, agg.dictionary_encode) — the columnar
@@ -3596,6 +3656,7 @@ def registry():
         "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
         "source_mix_sample": (q_source_mix_sample, SQL_SOURCE_MIX),
         "dict_encode": (q_dict_encode, SQL_DICT_ENCODE),
+        "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
