@@ -270,6 +270,26 @@ class TestRasterVector:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDictionaryEncode:
+    def test_dense_lexicographic_ids(self):
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.agg import dictionary_encode
+
+        df = pd.DataFrame({
+            "event_id": np.arange(6, dtype=np.int64),
+            "event_type": ["view", "click", "view", "a", "zz", "click"],
+        })
+        out = dictionary_encode(
+            rd.from_pandas(df).repartition(3), "event_type",
+            "event_type_id", id_cols=["event_id"],
+        ).to_pandas().sort_values("event_id")
+        # sorted distinct: a=0, click=1, view=2, zz=3
+        assert out["event_type_id"].tolist() == [2, 1, 2, 0, 3, 1]
+        assert list(out.columns) == ["event_id", "event_type_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestRectOverlapJoin:
     @pytest.mark.parametrize("broadcast_max", [0, 100_000])
     def test_matches_brute_force_with_boundary_alignments(self, broadcast_max):
