@@ -1414,6 +1414,34 @@ WHERE a.doc_id % 2 = 1
 """
 
 
+def q_dup_ngram_coverage(sf_dir: str):
+    """Duplicate-5-gram token coverage per document (the third Gopher
+    repetition metric: cross-document duplicate n-gram coverage) —
+    global shingle DF pass + positional membership + per-doc interval
+    union (dedup.dup_ngram_coverage)."""
+    return dedup.dup_ngram_coverage(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        k_shingle=5)
+
+
+SQL_DUP_NGRAM_COVERAGE = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sp AS (SELECT doc_id, i AS pos,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+              t[i+3] || ' ' || t[i+4] AS s
+       FROM toks, unnest(range(1, len(t)-3)) AS u(i)
+       WHERE len(t) >= 5),
+df AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS c
+                      FROM sp GROUP BY 1) WHERE c >= 2),
+dup AS (SELECT DISTINCT doc_id, pos FROM sp JOIN df USING(s)),
+cov AS (SELECT doc_id, COUNT(DISTINCT p) AS covered
+        FROM dup, unnest(range(pos, pos+5)) AS r(p) GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens
+FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+"""
+
+
 def q_near_dedup_keep(sf_dir: str):
     """End-to-end near-dedup: shingle-Jaccard pairs -> connected
     components -> keep min-id per component.  Oracle = recursive-CTE
@@ -3657,6 +3685,7 @@ def registry():
         "source_mix_sample": (q_source_mix_sample, SQL_SOURCE_MIX),
         "dict_encode": (q_dict_encode, SQL_DICT_ENCODE),
         "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+        "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

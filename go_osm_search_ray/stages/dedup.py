@@ -936,3 +936,115 @@ def decontaminate(train_ds, test_ds, id_col="doc_id", text_col="text",
         lambda b: b[[id_col]].drop_duplicates(), batch_format="pandas")
     return bucketed_group_apply(ids, [id_col],
                                 lambda g: g.drop_duplicates())
+
+
+def dup_ngram_coverage(ds, id_col="doc_id", text_col="text",
+                       k_shingle: int = 5,
+                       broadcast_max: int = 4_000_000,
+                       n_partitions: int | None = None):
+    """DUPLICATE-N-GRAM COVERAGE (the remaining Gopher repetition
+    metric, Rae et al. 2021: "fraction of characters in duplicate
+    n-grams", token-level here): per document, the number of token
+    positions covered by at least one k-gram that also occurs in
+    ANOTHER document.  Output integers per doc: (doc_id, n_tokens,
+    covered_tokens); the ratio is one division away.
+
+    Two-pass distributed shape:
+      1. global k-gram document frequency — per-doc-distinct shingle
+         hashes, bucket-hash two-phase count, keep df >= 2 (the
+         cross-corpus duplicate set);
+      2. positional membership — every (doc, pos, shingle-hash) row
+         streams against the dup set (broadcast sorted-array
+         searchsorted when <= broadcast_max, else keyed hash join),
+         then per-doc interval UNION of the surviving [pos, pos+k)
+         windows — all k-length intervals, so union length is
+         sum(min(k, next_pos - pos)) over the sorted positions, one
+         vectorized shift+clip per bucket.
+    Docs shorter than k have no k-gram and count 0 covered.
+    The text never shuffles — only hashes, positions, and counts."""
+    from .agg import (bucketed_group_apply, default_join_partitions,
+                      join_input, join_safe, membership_filter,
+                      two_phase_agg)
+
+    k = k_shingle
+
+    def doc_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        hvs = _shingle_hashes_batch(
+            tokenize_series(b[text_col]).map(
+                lambda ws: ws if len(ws) >= k else []), k)
+        lens = np.array([len(h) for h in hvs], dtype=np.int64)
+        return pd.DataFrame({
+            "sh": (np.concatenate(hvs).astype(np.int64) if lens.sum()
+                   else np.array([], dtype=np.int64)),
+            "n": np.ones(int(lens.sum()), dtype=np.int64),
+        })
+
+    df_counts = two_phase_agg(ds, doc_distinct, ["sh"], ["n"],
+                              combine="shuffle")
+    dup = df_counts.map_batches(
+        lambda b: b.loc[b["n"] >= 2, ["sh"]],
+        batch_format="pandas").materialize()
+
+    def positions(b: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize_series(b[text_col])
+        ids, poss, shs = [], [], []
+        cache: dict[str, np.uint64] = {}
+        for did, ws in zip(b[id_col].to_numpy(np.int64), toks):
+            if len(ws) < k:
+                continue
+            for i in range(len(ws) - k + 1):
+                key = " ".join(ws[i:i + k])
+                h = cache.get(key)
+                if h is None:
+                    h = _hash64(key)
+                    cache[key] = h
+                ids.append(did)
+                poss.append(i)
+                shs.append(np.int64(h))
+        return pd.DataFrame({id_col: np.array(ids, dtype=np.int64),
+                             "pos": np.array(poss, dtype=np.int64),
+                             "sh": np.array(shs, dtype=np.int64)})
+
+    probe = ds.map_batches(positions, batch_format="pandas")
+    if dup.count() <= broadcast_max:
+        hits = membership_filter(probe, dup, "sh", "sh", keep=True)
+    else:
+        n_parts = n_partitions or default_join_partitions()
+        dup_in, n_dup = join_input(dup, n_parts)
+        hits = join_safe(probe, n_parts).join(
+            dup_in, "inner", n_parts, on=("sh",))
+
+    def cover_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g[[id_col, "pos"]].drop_duplicates()
+             .sort_values([id_col, "pos"], kind="mergesort"))
+        nxt = d.groupby(id_col, sort=False)["pos"].shift(-1)
+        contrib = np.minimum(k, (nxt - d["pos"]).fillna(k)).astype(np.int64)
+        out = contrib.groupby(d[id_col], sort=False).sum()
+        return pd.DataFrame({id_col: out.index.to_numpy(np.int64),
+                             "covered_tokens": out.to_numpy(np.int64)})
+
+    covered = bucketed_group_apply(hits.select_columns([id_col, "pos"]),
+                                   [id_col], cover_bucket)
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].astype(np.int64),
+            "n_tokens": tokenize_series(b[text_col]).str.len()
+            .astype(np.int64),
+        })
+
+    base = ds.map_batches(tok_counts, batch_format="pandas")
+    n_parts = n_partitions or default_join_partitions()
+    cov_in, n_cov = join_input(covered, n_parts)
+    if n_cov == 0:
+        return base.map_batches(
+            lambda b: b.assign(covered_tokens=np.int64(0)),
+            batch_format="pandas")
+    joined = join_safe(base, n_parts).join(
+        cov_in, "left_outer", n_parts, on=(id_col,))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["covered_tokens"] = b["covered_tokens"].fillna(0).astype(np.int64)
+        return b[[id_col, "n_tokens", "covered_tokens"]]
+
+    return joined.map_batches(finish, batch_format="pandas")

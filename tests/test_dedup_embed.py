@@ -84,6 +84,33 @@ class TestDecontaminate:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDupNgramCoverage:
+    @pytest.mark.parametrize("broadcast_max", [0, 4_000_000])
+    def test_interval_union_by_hand(self, broadcast_max):
+        """Two docs share 'a b c d e' and the overlapping 'b c d e f'
+        (positions 0 and 1 in doc 10 -> union covers tokens 0..5 = 6);
+        doc 12 shares nothing; doc 13 is shorter than the 5-gram."""
+        import ray.data as rd
+
+        df = pd.DataFrame({
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                "a b c d e f x y z",          # dup 5-grams at pos 0,1
+                "q a b c d e f r",            # dup 5-grams at pos 1,2
+                "totally different words here all unique tokens now",
+                "too short",
+            ],
+        })
+        got = dedup.dup_ngram_coverage(
+            rd.from_pandas(df).repartition(3), k_shingle=5,
+            broadcast_max=broadcast_max,
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert got["n_tokens"].tolist() == [9, 8, 8, 2]
+        # doc10: [0,5)+[1,6) union = 6; doc11: [1,6)+[2,7) union = 6
+        assert got["covered_tokens"].tolist() == [6, 6, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestNameBboxDedup:
     def test_reference_semantics(self):
         """Same name, point inside earlier record's bbox -> dropped
