@@ -3008,6 +3008,30 @@ FROM bits GROUP BY 1
 """
 
 
+def q_image_edge_energy(sf_dir: str):
+    """Integer gradient-energy sharpness metric per image
+    (images.EdgeEnergy): decode -> channel-sum plane -> sum |Δx|+|Δy|;
+    the blur/quality gate of a multimodal pipeline, mirrored in SQL
+    over the same pixel math with self-joins on shifted coordinates."""
+    from ..stages import images
+
+    out = _task_stage(_key_images(sf_dir, "part", "p_partkey"),
+                      images.EdgeEnergy, "q/edgeenergy")
+    return out.select_columns(["image_id", "edge_energy"])
+
+
+SQL_IMAGE_EDGE_ENERGY = f"""
+WITH px AS ({SQL_IMG_PX}),
+s AS (SELECT k, x, y, r + g + b AS v FROM px),
+dx AS (SELECT a.k, SUM(ABS(b.v - a.v)) AS e FROM s a
+       JOIN s b ON b.k = a.k AND b.y = a.y AND b.x = a.x + 1 GROUP BY 1),
+dy AS (SELECT a.k, SUM(ABS(b.v - a.v)) AS e FROM s a
+       JOIN s b ON b.k = a.k AND b.x = a.x AND b.y = a.y + 1 GROUP BY 1)
+SELECT {SQL_IMG_ID} AS image_id, CAST(dx.e + dy.e AS BIGINT) AS edge_energy
+FROM dx JOIN dy USING (k)
+"""
+
+
 def q_phash_near_pairs(sf_dir: str):
     """Image near-dup pairs by perceptual-hash Hamming distance at
     DISTINCT-SIGNATURE granularity — the scale-honest shape: exact-dup
@@ -3686,6 +3710,7 @@ def registry():
         "dict_encode": (q_dict_encode, SQL_DICT_ENCODE),
         "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
         "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
+        "image_edge_energy": (q_image_edge_energy, SQL_IMAGE_EDGE_ENERGY),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

@@ -181,6 +181,37 @@ class AverageHash:
         )
 
 
+class EdgeEnergy:
+    """Integer GRADIENT-ENERGY (sharpness/blur) metric — the
+    image-quality gate a multimodal training pipeline runs before
+    keeping a sample: per image, sum of |Δ| of the channel-sum plane
+    along x and y.  Low energy = flat/blurry, high = textured.
+    Integer-exact (the oracle design rule): energy over
+    s(x,y) = r+g+b needs no float at any step.
+
+    Decode is per-image (zlib); uniform-shape batches stack ONCE and
+    the two difference sums run batch-wide (the AverageHashInt
+    pattern)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        imgs = [_decode(blobs[i], fmts[i]) for i in range(n)]
+        if n and all(im.shape == imgs[0].shape for im in imgs):
+            s = np.stack(imgs).sum(axis=3, dtype=np.int64)
+            e = (np.abs(np.diff(s, axis=2)).sum(axis=(1, 2))
+                 + np.abs(np.diff(s, axis=1)).sum(axis=(1, 2)))
+        else:
+            e = np.zeros(n, dtype=np.int64)
+            for i, im in enumerate(imgs):
+                s = im.sum(axis=2, dtype=np.int64)
+                e[i] = (np.abs(np.diff(s, axis=1)).sum()
+                        + np.abs(np.diff(s, axis=0)).sum())
+        return batch.append_column("edge_energy",
+                                   pa.array(e.astype(np.int64), pa.int64()))
+
+
 class EmbedImageSums:
     """Integer-exact grid-pooled feature extraction (the oracle-able
     core of EmbedImage): per (grid_y, grid_x) block, per-channel pixel
