@@ -3358,6 +3358,43 @@ FROM px GROUP BY 1, 2
 """
 
 
+SCENE_CUT_L1 = 5800
+
+
+def q_video_scene_changes(sf_dir: str):
+    """Video shot-boundary detection (images.SceneChanges): decode
+    all frames, integer L1 distance between consecutive frames, count
+    transitions above the cut threshold — mirrored in SQL over the
+    same frame pixel math (the codec round-trip is the proof)."""
+    from .. import synth
+    from ..stages import images
+
+    keys = read_table(sf_dir, "part", columns=["p_partkey"])
+    vids = keys.map_batches(
+        lambda b: synth.videos_from_keys(b["p_partkey"].to_numpy()),
+        batch_format="pyarrow",
+    )
+    return _task_stage(vids, images.SceneChanges, "q/scenechanges",
+                       threshold=SCENE_CUT_L1)
+
+
+SQL_VIDEO_SCENES = f"""
+WITH px AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k, uf.f AS f, ux.x AS x, uy.y AS y
+  FROM part, unnest(range(0, 5)) AS uf(f),
+       unnest(range(0, 8)) AS ux(x), unnest(range(0, 8)) AS uy(y)),
+d AS (SELECT k, f,
+        SUM(ABS((k*3 + (f+1)*17 + x*7  + y*11) % 256 - (k*3 + f*17 + x*7  + y*11) % 256)
+          + ABS((k*5 + (f+1)*13 + x*13 + y*3 ) % 256 - (k*5 + f*13 + x*13 + y*3 ) % 256)
+          + ABS((k*7 + (f+1)*19 + x*11 + y*5 ) % 256 - (k*7 + f*19 + x*11 + y*5 ) % 256)) AS l1
+      FROM px GROUP BY 1, 2)
+SELECT 'vid' || lpad(CAST(k AS VARCHAR), 10, '0') AS video_id,
+       CAST(SUM(CASE WHEN l1 > {SCENE_CUT_L1} THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(SUM(l1) AS BIGINT) AS total_l1
+FROM d GROUP BY 1
+"""
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal AUDIO leg: key-derived PCM16 payloads -> integer
     feature extraction (sum-abs, zero crossings, peak) vs pure-SQL
@@ -3711,6 +3748,7 @@ def registry():
         "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
         "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
         "image_edge_energy": (q_image_edge_energy, SQL_IMAGE_EDGE_ENERGY),
+        "video_scene_changes": (q_video_scene_changes, SQL_VIDEO_SCENES),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

@@ -212,6 +212,41 @@ class EdgeEnergy:
                                    pa.array(e.astype(np.int64), pa.int64()))
 
 
+class SceneChanges:
+    """VIDEO SCENE-CHANGE detection (the shot-boundary pass of a
+    video-training pipeline): unpack the FVID container, decode every
+    frame, and compare consecutive frames by integer L1 distance
+    (sum over pixels of |Δr|+|Δg|+|Δb|); a CUT is a transition whose
+    L1 exceeds the threshold.  Output per video: (video_id, n_cuts,
+    total_l1) — all int64 (the oracle design rule).
+
+    Per-video frame loop (containers are variable-length), but each
+    frame pair compares as one whole-array numpy op."""
+
+    def __init__(self, threshold: int):
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import codecs
+
+        vids = batch["video_id"].to_pylist()
+        n_cuts = np.zeros(len(vids), dtype=np.int64)
+        total = np.zeros(len(vids), dtype=np.int64)
+        for i, blob in enumerate(batch["bytes"].to_pylist()):
+            frames = [codecs.png_decode(fb).astype(np.int64)
+                      for fb in codecs.video_unpack(blob)]
+            for a, b in zip(frames, frames[1:]):
+                l1 = int(np.abs(a - b).sum())
+                total[i] += l1
+                if l1 > self.threshold:
+                    n_cuts[i] += 1
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "n_cuts": pa.array(n_cuts, pa.int64()),
+            "total_l1": pa.array(total, pa.int64()),
+        })
+
+
 class EmbedImageSums:
     """Integer-exact grid-pooled feature extraction (the oracle-able
     core of EmbedImage): per (grid_y, grid_x) block, per-channel pixel
