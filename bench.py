@@ -52,7 +52,8 @@ BENCH_QUERIES = [
     "overlap_join", "track_lengths", "zorder_assign",
     "quality_filter", "pq_search", "repetition_signals",
     "decontaminate", "events_funnel", "hybrid_search_rrf",
-    "chunk_windows", "source_mix_sample",
+    "chunk_windows", "source_mix_sample", "dup_ngram_coverage",
+    "image_edge_energy", "video_scene_changes",
 ]
 
 

@@ -2083,6 +2083,68 @@ GROUP BY 1, 2
 """
 
 
+def q_pagerank(sf_dir: str):
+    """Integer PageRank over the customer-supplier interaction graph:
+    edges from the orders x lineitem keyed join (who bought from
+    whom), symmetrized, node ids disambiguated by parity
+    (customer*2, supplier*2+1); 3 deterministic integer power
+    iterations (cluster.pagerank_int) — every float replaced by
+    floor division so the SQL mirror is hash-exact."""
+    from ..stages.agg import (bucketed_group_apply,
+                              default_join_partitions, ensure_schema,
+                              join_input, join_safe)
+    from ..stages.cluster import pagerank_int
+
+    n_parts = default_join_partitions()
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey"])
+    o_in, _ = join_input(ensure_schema(
+        orders, {"o_orderkey": "int64", "o_custkey": "int64"}), n_parts)
+    l_in, _ = join_input(ensure_schema(
+        li, {"l_orderkey": "int64", "l_suppkey": "int64"}), n_parts)
+    pairs = o_in.join(l_in, "inner", n_parts,
+                      on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64) * 2
+        s = b["l_suppkey"].to_numpy(np.int64) * 2 + 1
+        return pd.DataFrame({
+            "src": np.concatenate([c, s]),
+            "dst": np.concatenate([s, c]),
+        }).drop_duplicates()
+
+    edges = bucketed_group_apply(
+        pairs.map_batches(to_edges, batch_format="pandas"),
+        ["src", "dst"], lambda g: g.drop_duplicates())
+    return pagerank_int(edges, iterations=3)
+
+
+def _sql_pagerank(iters: int = 3) -> str:
+    head = """
+WITH eraw AS (SELECT DISTINCT CAST(o_custkey AS BIGINT)*2 AS src,
+                     CAST(l_suppkey AS BIGINT)*2 + 1 AS dst
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS m FROM nodes)"""
+    body = []
+    for t in range(1, iters + 1):
+        body.append(f"""
+c{t} AS (SELECT e.dst AS node, SUM((m{t-1}.m * 85) // (100 * deg.d)) AS s
+         FROM e JOIN m{t-1} ON m{t-1}.node = e.src
+                JOIN deg ON deg.src = e.src GROUP BY 1),
+m{t} AS (SELECT n.node, CAST(150000 + COALESCE(c{t}.s, 0) AS BIGINT) AS m
+         FROM nodes n LEFT JOIN c{t} ON c{t}.node = n.node)""")
+    return (head + "," + ",".join(body)
+            + f"\nSELECT node, m AS mass FROM m{iters}")
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 def q_dict_encode(sf_dir: str):
     """Categorical dictionary encoding of event_type (dense
     lexicographic-rank ids, agg.dictionary_encode) — the columnar
@@ -3749,6 +3811,7 @@ def registry():
         "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
         "image_edge_energy": (q_image_edge_energy, SQL_IMAGE_EDGE_ENERGY),
         "video_scene_changes": (q_video_scene_changes, SQL_VIDEO_SCENES),
+        "pagerank": (q_pagerank, SQL_PAGERANK),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

@@ -176,3 +176,98 @@ def dbscan(pts, eps_km: float, minpts: int, res: int = 7,
     return (core_lab.map_batches(finish_core, batch_format="pandas")
             .union(border_lab.map_batches(finish(0),
                                           batch_format="pandas")))
+
+
+def pagerank_int(edges_ds, iterations: int = 3, src_col: str = "src",
+                 dst_col: str = "dst", init: int = 1_000_000,
+                 base: int = 150_000, damp_num: int = 85,
+                 damp_den: int = 100, num_partitions: int | None = None):
+    """Deterministic INTEGER PageRank (power iteration with floor
+    division — hash-exact across engines, no float drift):
+
+        m_0(v)     = init
+        m_{t+1}(v) = base + sum over in-edges (u -> v) of
+                     (m_t(u) * damp_num) // (damp_den * outdeg(u))
+
+    The entity-importance pass of a link/interaction graph — the
+    iterative-keyed-join sibling of cc_labels' min-label propagation.
+    Caller contract: edges are already DISTINCT; pass a symmetrized
+    edge set to avoid dangling-node mass leaks (leaked mass is simply
+    lost to the base term, same semantics in the SQL mirror).
+
+    Scale shape per iteration: mass joins the (edge, outdeg) table on
+    src (bucket-partitioned hash join), per-row integer contribution,
+    bucket-hash sum by dst, LEFT join back to the node set — nothing
+    node- or edge-shaped ever sits on the driver; rounds are bounded
+    by `iterations`, not data."""
+    from .agg import (default_join_partitions, ensure_schema,
+                      join_input, join_safe, two_phase_agg)
+
+    n_parts = num_partitions or default_join_partitions()
+
+    def degree_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(src_col, sort=False, as_index=False).size()
+        return out.rename(columns={src_col: "node", "size": "deg"})
+
+    deg = two_phase_agg(edges_ds, degree_partial, ["node"], ["deg"],
+                        combine="shuffle")
+    deg = ensure_schema(deg, {"node": "int64", "deg": "int64"})
+
+    e_deg = join_safe(edges_ds, n_parts).join(
+        join_safe(deg, n_parts), "inner", n_parts,
+        on=(src_col,), right_on=("node",))
+    e_in, n_edges = join_input(ensure_schema(
+        e_deg.map_batches(lambda b: b[[src_col, dst_col, "deg"]],
+                          batch_format="pandas"),
+        {src_col: "int64", dst_col: "int64", "deg": "int64"}), n_parts)
+
+    nodes = two_phase_agg(
+        edges_ds,
+        lambda b: pd.DataFrame(
+            {"node": pd.unique(np.concatenate(
+                [b[src_col].to_numpy(np.int64),
+                 b[dst_col].to_numpy(np.int64)])),
+             "one": np.int64(1)}).groupby("node", sort=False,
+                                          as_index=False).min(),
+        ["node"], ["one"], combine="shuffle")
+    nodes, n_nodes = join_input(
+        ensure_schema(nodes.map_batches(lambda b: b[["node"]],
+                                        batch_format="pandas"),
+                      {"node": "int64"}), n_parts)
+
+    mass = nodes.map_batches(
+        lambda b: b.assign(m=np.int64(init)), batch_format="pandas"
+    ).materialize()
+
+    dn, dd = np.int64(damp_num), np.int64(damp_den)
+    for _ in range(iterations):
+        m_in, _ = join_input(
+            ensure_schema(mass, {"node": "int64", "m": "int64"}), n_parts)
+        contrib = join_safe(e_in, n_parts).join(
+            m_in, "inner", n_parts, on=(src_col,), right_on=("node",))
+
+        def emit(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": b[dst_col].to_numpy(np.int64),
+                "s": (b["m"].to_numpy(np.int64) * dn)
+                // (dd * b["deg"].to_numpy(np.int64)),
+            })
+
+        sums = two_phase_agg(contrib, emit, ["node"], ["s"],
+                             combine="shuffle")
+        sums = ensure_schema(sums, {"node": "int64", "s": "int64"})
+        s_in, n_s = join_input(sums, n_parts)
+        if n_s == 0:
+            mass = nodes.map_batches(
+                lambda b: b.assign(m=np.int64(base)),
+                batch_format="pandas").materialize()
+            continue
+        joined = nodes.join(s_in, "left_outer", n_parts, on=("node",))
+        mass = joined.map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "m": np.int64(base) + b["s"].fillna(0).to_numpy(np.int64),
+            }), batch_format="pandas").materialize()
+
+    return mass.map_batches(
+        lambda b: b.rename(columns={"m": "mass"}), batch_format="pandas")

@@ -121,3 +121,34 @@ class TestDbscan:
         assert got == want
         assert (0, 0, 1) in got  # center is the singleton core
         assert got == {(0, 0, 1)} | {(i, 0, 0) for i in range(1, 5)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagerankInt:
+    def test_matches_reference_loop(self):
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.cluster import pagerank_int
+
+        rng = np.random.default_rng(5)
+        n = 40
+        a = rng.integers(0, n, 120)
+        b = rng.integers(0, n, 120)
+        keep = a != b
+        e = pd.DataFrame({"src": np.concatenate([a[keep], b[keep]]),
+                          "dst": np.concatenate([b[keep], a[keep]])}
+                         ).drop_duplicates().astype(np.int64)
+        got = pagerank_int(rd.from_pandas(e).repartition(4), iterations=3
+                           ).to_pandas().set_index("node")["mass"]
+
+        nodes = np.unique(np.concatenate([e["src"], e["dst"]]))
+        deg = e.groupby("src").size()
+        m = {v: 1_000_000 for v in nodes}
+        for _ in range(3):
+            contrib = {v: 0 for v in nodes}
+            for s, d in zip(e["src"], e["dst"]):
+                contrib[d] += (m[s] * 85) // (100 * deg[s])
+            m = {v: 150_000 + contrib[v] for v in nodes}
+        assert len(got) == len(nodes)
+        for v in nodes:
+            assert got[v] == m[v], v
