@@ -2090,33 +2090,36 @@ def q_pagerank(sf_dir: str):
     (customer*2, supplier*2+1); 3 deterministic integer power
     iterations (cluster.pagerank_int) — every float replaced by
     floor division so the SQL mirror is hash-exact."""
-    from ..stages.agg import (bucketed_group_apply,
-                              default_join_partitions, ensure_schema,
-                              join_input, join_safe)
-    from ..stages.cluster import pagerank_int
+    import ray
 
-    n_parts = default_join_partitions()
-    orders = read_table(sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey"])
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_suppkey"])
-    o_in, _ = join_input(ensure_schema(
-        orders, {"o_orderkey": "int64", "o_custkey": "int64"}), n_parts)
-    l_in, _ = join_input(ensure_schema(
-        li, {"l_orderkey": "int64", "l_suppkey": "int64"}), n_parts)
-    pairs = o_in.join(l_in, "inner", n_parts,
-                      on=("o_orderkey",), right_on=("l_orderkey",))
+    from ..stages.agg import bucketed_group_apply
+    from ..stages.cluster import pagerank_int
+    from ..stages.knn import cached_state
+
+    # orders -> custkey is a sorted int64 map well inside the
+    # broadcast budget: one searchsorted per lineitem batch replaces
+    # the keyed hash join (the engine-wide small-side policy)
+    ot = read_table_arrow(sf_dir, "orders",
+                          columns=["o_orderkey", "o_custkey"])
+    ok = np.asarray(ot["o_orderkey"].to_numpy(), dtype=np.int64)
+    oc = np.asarray(ot["o_custkey"].to_numpy(), dtype=np.int64)
+    order = np.argsort(ok, kind="stable")
+    ref = ray.put((ok[order], oc[order]))
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
-        c = b["o_custkey"].to_numpy(np.int64) * 2
-        s = b["l_suppkey"].to_numpy(np.int64) * 2 + 1
+        k, c = cached_state(f"pr-omap-{id(ref)}", lambda: ray.get(ref))
+        cust = c[np.searchsorted(k, b["l_orderkey"].to_numpy(np.int64))]
+        cn = cust * 2
+        sn = b["l_suppkey"].to_numpy(np.int64) * 2 + 1
         return pd.DataFrame({
-            "src": np.concatenate([c, s]),
-            "dst": np.concatenate([s, c]),
+            "src": np.concatenate([cn, sn]),
+            "dst": np.concatenate([sn, cn]),
         }).drop_duplicates()
 
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey"])
     edges = bucketed_group_apply(
-        pairs.map_batches(to_edges, batch_format="pandas"),
+        li.map_batches(to_edges, batch_format="pandas"),
         ["src", "dst"], lambda g: g.drop_duplicates())
     return pagerank_int(edges, iterations=3)
 

@@ -181,7 +181,8 @@ def dbscan(pts, eps_km: float, minpts: int, res: int = 7,
 def pagerank_int(edges_ds, iterations: int = 3, src_col: str = "src",
                  dst_col: str = "dst", init: int = 1_000_000,
                  base: int = 150_000, damp_num: int = 85,
-                 damp_den: int = 100, num_partitions: int | None = None):
+                 damp_den: int = 100, num_partitions: int | None = None,
+                 broadcast_max: int = 4_000_000):
     """Deterministic INTEGER PageRank (power iteration with floor
     division — hash-exact across engines, no float drift):
 
@@ -199,11 +200,76 @@ def pagerank_int(edges_ds, iterations: int = 3, src_col: str = "src",
     src (bucket-partitioned hash join), per-row integer contribution,
     bucket-hash sum by dst, LEFT join back to the node set — nothing
     node- or edge-shaped ever sits on the driver; rounds are bounded
-    by `iterations`, not data."""
+    by `iterations`, not data.
+
+    Adaptive (the engine-wide small-side policy): a node set within
+    `broadcast_max` keeps the mass vector as one broadcast sorted
+    array per round — the per-edge lookup is a vectorized
+    searchsorted, the ONLY shuffle left is the bucket-hash
+    contribution sum, and the join aggregator pools (whose startup
+    dominates at benchmark scale) never spin up.  Web-scale node
+    counts take the keyed-join path below."""
     from .agg import (default_join_partitions, ensure_schema,
                       join_input, join_safe, two_phase_agg)
 
     n_parts = num_partitions or default_join_partitions()
+
+    if broadcast_max:
+        import ray
+
+        from .knn import cached_state
+
+        # one materialized scan collects BOTH the node set and the
+        # out-degrees (bounded by broadcast_max, the same budget
+        # membership_filter states); the keyed-join path below never
+        # holds either on the driver
+        e_mat = edges_ds.materialize()
+        node_chunks, deg_acc = [], {}
+        for b in e_mat.iter_batches(batch_format="pandas"):
+            sv = b[src_col].to_numpy(np.int64)
+            node_chunks.append(pd.unique(np.concatenate(
+                [sv, b[dst_col].to_numpy(np.int64)])))
+            u, c = np.unique(sv, return_counts=True)
+            for uu, cc in zip(u.tolist(), c.tolist()):
+                deg_acc[uu] = deg_acc.get(uu, 0) + cc
+        nodes_arr = np.unique(np.concatenate(
+            node_chunks or [np.array([], dtype=np.int64)]))
+        if len(nodes_arr) <= broadcast_max:
+            deg_arr = np.array([deg_acc.get(int(v), 0)
+                                for v in nodes_arr], dtype=np.int64)
+            mass_arr = np.full(len(nodes_arr), np.int64(init))
+            dn, dd = np.int64(damp_num), np.int64(damp_den)
+            na_ref = ray.put(nodes_arr)
+            dg_ref = ray.put(deg_arr)
+            for _ in range(iterations):
+                ref = ray.put(mass_arr)
+
+                def contrib_batch(b, _r=ref, _n=na_ref, _d=dg_ref):
+                    na = cached_state(f"prn-{id(_n)}",
+                                      lambda: ray.get(_n))
+                    dg = cached_state(f"prd-{id(_d)}",
+                                      lambda: ray.get(_d))
+                    ma = cached_state(f"prm-{id(_r)}",
+                                      lambda: ray.get(_r))
+                    pos = np.searchsorted(na, b[src_col].to_numpy(np.int64))
+                    return pd.DataFrame({
+                        "node": b[dst_col].to_numpy(np.int64),
+                        "s": (ma[pos] * dn) // (dd * dg[pos]),
+                    })
+
+                sums = two_phase_agg(e_mat, contrib_batch,
+                                     ["node"], ["s"],
+                                     combine="shuffle").to_pandas()
+                mass_arr = np.full(len(nodes_arr), np.int64(base))
+                if len(sums):
+                    pos = np.searchsorted(
+                        nodes_arr, sums["node"].to_numpy(np.int64))
+                    mass_arr[pos] += sums["s"].to_numpy(np.int64)
+            import ray.data as rd
+
+            return rd.from_pandas(pd.DataFrame(
+                {"node": nodes_arr, "mass": mass_arr}))
+        edges_ds = e_mat
 
     def degree_partial(b: pd.DataFrame) -> pd.DataFrame:
         out = b.groupby(src_col, sort=False, as_index=False).size()

@@ -125,7 +125,8 @@ class TestDbscan:
 
 @pytest.mark.usefixtures("ray_session")
 class TestPagerankInt:
-    def test_matches_reference_loop(self):
+    @pytest.mark.parametrize("broadcast_max", [0, 4_000_000])
+    def test_matches_reference_loop(self, broadcast_max):
         import ray.data as rd
 
         from go_osm_search_ray.stages.cluster import pagerank_int
@@ -138,7 +139,8 @@ class TestPagerankInt:
         e = pd.DataFrame({"src": np.concatenate([a[keep], b[keep]]),
                           "dst": np.concatenate([b[keep], a[keep]])}
                          ).drop_duplicates().astype(np.int64)
-        got = pagerank_int(rd.from_pandas(e).repartition(4), iterations=3
+        got = pagerank_int(rd.from_pandas(e).repartition(4), iterations=3,
+                           broadcast_max=broadcast_max,
                            ).to_pandas().set_index("node")["mass"]
 
         nodes = np.unique(np.concatenate([e["src"], e["dst"]]))
