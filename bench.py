@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "quality_filter", "pq_search", "repetition_signals",
     "decontaminate", "events_funnel", "hybrid_search_rrf",
     "chunk_windows", "source_mix_sample", "dup_ngram_coverage",
-    "image_edge_energy", "video_scene_changes",
+    "image_edge_energy", "video_scene_changes", "corpus_prep",
 ]
 
 

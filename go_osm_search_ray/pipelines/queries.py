@@ -1414,6 +1414,68 @@ WHERE a.doc_id % 2 = 1
 """
 
 
+def q_corpus_prep(sf_dir: str):
+    """END-TO-END LLM corpus preparation — the composed keep-set a
+    training-data pipeline ships: a document survives iff it
+    (1) passes the corpus-relative quality gate (n_chars >= exact
+    streaming median), (2) passes the Gopher repetition gate, and
+    (3) is its exact-dedup representative (min doc_id per normalized
+    content hash).  One histogram pass (shuffle = O(distinct
+    lengths)), one signal+gate map pass, the dedup keep-set as an
+    adaptive broadcast/keyed semi-join — the corpus text streams
+    twice and never shuffles."""
+    from ..stages.agg import (default_join_partitions, join_input,
+                              join_safe, membership_filter,
+                              quantile_disc_from_histogram,
+                              two_phase_agg)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n_chars = b["text"].str.len().astype(np.int64)
+        return (pd.DataFrame({"n_chars": n_chars})
+                .groupby("n_chars", sort=False).size().reset_index(name="n"))
+
+    hist = two_phase_agg(ds, hist_partial, ["n_chars"], ["n"],
+                         combine="shuffle").to_pandas()
+    hist = hist.sort_values("n_chars", kind="mergesort")
+    med = int(quantile_disc_from_histogram(
+        hist["n_chars"].to_numpy(), hist["n"].to_numpy(), 0.5))
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        sig = text.repetition_signals(b)
+        keep = (b["text"].str.len().to_numpy(np.int64) >= med) \
+            & (5 * sig["top_bigram_n"].to_numpy() <= sig["n_bigrams"].to_numpy()) \
+            & (10 * sig["n_distinct"].to_numpy() >= 3 * sig["n_tokens"].to_numpy())
+        return b.loc[keep, ["doc_id"]]
+
+    gated = ds.map_batches(gate, batch_format="pandas")
+    reps = dedup.exact_dedup(ds).map_batches(
+        lambda b: b[["doc_id"]], batch_format="pandas").materialize()
+    if reps.count() <= 4_000_000:
+        return membership_filter(gated, reps, "doc_id", "doc_id",
+                                 keep=True)
+    n_parts = default_join_partitions()
+    r_in, _ = join_input(reps, n_parts)
+    return join_safe(gated, n_parts).join(r_in, "inner", n_parts,
+                                          on=("doc_id",))
+
+
+SQL_CORPUS_PREP = f"""
+WITH rs AS ({SQL_REPETITION}),
+med AS (SELECT quantile_disc(CAST(length(text) AS BIGINT), 0.5) AS m
+        FROM documents),
+rep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+SELECT d.doc_id FROM documents d
+JOIN rep ON rep.doc_id = d.doc_id
+JOIN rs ON rs.doc_id = d.doc_id, med
+WHERE CAST(length(d.text) AS BIGINT) >= med.m
+  AND 5 * rs.top_bigram_n <= rs.n_bigrams
+  AND 10 * rs.n_distinct >= 3 * rs.n_tokens
+"""
+
+
 def q_dup_ngram_coverage(sf_dir: str):
     """Duplicate-5-gram token coverage per document (the third Gopher
     repetition metric: cross-document duplicate n-gram coverage) —
@@ -3815,6 +3877,7 @@ def registry():
         "image_edge_energy": (q_image_edge_energy, SQL_IMAGE_EDGE_ENERGY),
         "video_scene_changes": (q_video_scene_changes, SQL_VIDEO_SCENES),
         "pagerank": (q_pagerank, SQL_PAGERANK),
+        "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
