@@ -637,6 +637,56 @@ class TestFunnelSteps:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestFunnelScale:
+    def test_funnel_scales_to_100k_users(self):
+        """100k distinct users through the bucket-hashed funnel: the
+        per-bucket work is vectorized (map-prev + mask + groupby-min),
+        so group count must not produce a sorted-groupby cliff.
+        Spot-checks a deterministic slice against the greedy rule."""
+        import time
+
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.agg import funnel_steps
+
+        n = 100_000
+        rng = np.random.default_rng(7)
+        rows = 3 * n
+        users = rng.integers(0, n, rows)
+        ts = (np.datetime64("2024-01-01") +
+              rng.integers(0, 86_400, rows).astype("timedelta64[s]"))
+        types = np.array(["view", "click", "purchase"])[
+            rng.integers(0, 3, rows)]
+        df = pd.DataFrame({"user_id": users, "ts": pd.to_datetime(ts),
+                           "event_type": types})
+        t0 = time.time()
+        out = funnel_steps(rd.from_pandas(df).repartition(16),
+                           key="user_id", ts_col="ts",
+                           type_col="event_type",
+                           steps=["view", "click", "purchase"],
+                           horizon_us=3_600_000_000).to_pandas()
+        wall = time.time() - t0
+        assert wall < 60, f"funnel took {wall:.0f}s for 100k users"
+        assert len(out) == df["user_id"].nunique()
+        assert set(out["steps_completed"].unique()) <= {0, 1, 2, 3}
+        # spot-check 50 users against the greedy per-user rule
+        got = out.set_index("user_id")["steps_completed"]
+        H = pd.Timedelta(hours=1)
+        for u in pd.unique(users)[:50]:
+            g = df[df["user_id"] == u]
+            cur, steps_done = None, 0
+            for step in ["view", "click", "purchase"]:
+                r = g[g["event_type"] == step]
+                if cur is not None:
+                    r = r[(r["ts"] > cur) & (r["ts"] <= cur + H)]
+                if len(r) == 0:
+                    break
+                cur = r["ts"].min()
+                steps_done += 1
+            assert got[u] == steps_done, u
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestIntervalJoin:
     def test_containment_boundaries_and_replication(self):
         import numpy as np
