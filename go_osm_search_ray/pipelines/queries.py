@@ -1414,6 +1414,59 @@ WHERE a.doc_id % 2 = 1
 """
 
 
+def q_char_percentiles(sf_dir: str):
+    """EXACT percentile-rank transform WITHOUT a global sort — the
+    rank-normalization a scoring pipeline needs at corpus scale: one
+    mergeable integer histogram of n_chars (shuffle = O(distinct
+    values)), the cumulative-below table broadcasts as two sorted
+    arrays, and a second streaming pass maps every doc through one
+    searchsorted.  pct_ppm = (#values strictly below) * 1e6 // total,
+    an integer (the oracle design rule)."""
+    import ray
+
+    from ..stages.agg import two_phase_agg
+    from ..stages.knn import cached_state
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n_chars = b["text"].str.len().astype(np.int64)
+        return (pd.DataFrame({"n_chars": n_chars})
+                .groupby("n_chars", sort=False).size().reset_index(name="n"))
+
+    hist = two_phase_agg(ds, partial, ["n_chars"], ["n"],
+                         combine="shuffle").to_pandas()
+    hist = hist.sort_values("n_chars", kind="mergesort")
+    vals = hist["n_chars"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    ref = ray.put((vals, below))
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        v, lt = cached_state(f"pctl-{id(ref)}", lambda: ray.get(ref))
+        n_chars = b["text"].str.len().to_numpy(np.int64)
+        cum = lt[np.searchsorted(v, n_chars)]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "n_chars": n_chars,
+            "pct_ppm": (cum * 1_000_000) // total,
+        })
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
+SQL_CHAR_PERCENTILES = """
+WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+t AS (SELECT COUNT(*) AS total FROM s)
+SELECT s.doc_id, s.n_chars,
+       ((SELECT COUNT(*) FROM s b WHERE b.n_chars < s.n_chars)
+        * 1000000) // t.total AS pct_ppm
+FROM s, t
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """END-TO-END LLM corpus preparation — the composed keep-set a
     training-data pipeline ships: a document survives iff it
@@ -3878,6 +3931,7 @@ def registry():
         "video_scene_changes": (q_video_scene_changes, SQL_VIDEO_SCENES),
         "pagerank": (q_pagerank, SQL_PAGERANK),
         "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
+        "char_percentiles": (q_char_percentiles, SQL_CHAR_PERCENTILES),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
