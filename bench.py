@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "decontaminate", "events_funnel", "hybrid_search_rrf",
     "chunk_windows", "source_mix_sample", "dup_ngram_coverage",
     "image_edge_energy", "video_scene_changes", "corpus_prep",
+    "char_percentiles", "retention_cohorts", "dict_encode",
 ]
 
 
