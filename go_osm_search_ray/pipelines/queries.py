@@ -1414,6 +1414,36 @@ WHERE a.doc_id % 2 = 1
 """
 
 
+def q_props_extract(sf_dir: str):
+    """SEMI-STRUCTURED field extraction (the JSON-props parse every
+    log pipeline runs): pull the integer `k` out of the events'
+    JSON props with one compiled vectorized regex per batch (no
+    per-row json.loads), then a bucket-hash sum/count per event_type.
+    Output: (event_type, n_events, sum_k)."""
+    from ..stages.agg import two_phase_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["props"].str.extract(r'"k":\s*(\d+)', expand=False)
+             .fillna(0).astype(np.int64))
+        return (pd.DataFrame({"event_type": b["event_type"],
+                              "n_events": np.int64(1), "sum_k": k})
+                .groupby("event_type", sort=False, as_index=False).sum())
+
+    return two_phase_agg(ds, partial, ["event_type"],
+                         ["n_events", "sum_k"])
+
+
+SQL_PROPS_EXTRACT = r"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(COALESCE(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                              AS BIGINT), 0)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
 def q_char_percentiles(sf_dir: str):
     """EXACT percentile-rank transform WITHOUT a global sort — the
     rank-normalization a scoring pipeline needs at corpus scale: one
@@ -3932,6 +3962,7 @@ def registry():
         "pagerank": (q_pagerank, SQL_PAGERANK),
         "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
         "char_percentiles": (q_char_percentiles, SQL_CHAR_PERCENTILES),
+        "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
