@@ -968,15 +968,49 @@ def dup_ngram_coverage(ds, id_col="doc_id", text_col="text",
 
     k = k_shingle
 
+    def _pos_hash_batch(b: pd.DataFrame):
+        """Per-doc POSITIONAL k-gram hashes, fully vectorized:
+        factorize the batch's tokens (C speed), md5 each UNIQUE token
+        once, then the k-gram hash is a k-term polynomial combine of
+        the token hashes (uint64 wraparound — process-independent, no
+        Python per position).  Returns (doc_ids int64 array, list of
+        per-doc uint64 position-hash arrays)."""
+        toks = tokenize_series(b[text_col])
+        lens = toks.str.len().to_numpy(np.int64)
+        ids = b[id_col].to_numpy(np.int64)
+        if lens.sum() == 0:
+            return ids, [np.empty(0, np.uint64) for _ in ids]
+        flat = np.concatenate([np.asarray(ws, dtype=object)
+                               for ws in toks])
+        codes, uniq = pd.factorize(flat)
+        uh = np.fromiter((_hash64(u) for u in uniq), dtype=np.uint64,
+                         count=len(uniq))
+        flat_h = uh[codes]
+        bounds = np.cumsum(lens)[:-1]
+        per_doc = np.split(flat_h, bounds)
+        prime = np.uint64(1099511628211)  # FNV prime
+        out = []
+        for th in per_doc:
+            if len(th) < k:
+                out.append(np.empty(0, np.uint64))
+                continue
+            n = len(th) - k + 1
+            acc = np.zeros(n, dtype=np.uint64)
+            p = np.uint64(1)
+            for j in range(k - 1, -1, -1):
+                acc += th[j:j + n] * p
+                p = p * prime
+            out.append(acc)
+        return ids, out
+
     def doc_distinct(b: pd.DataFrame) -> pd.DataFrame:
-        hvs = _shingle_hashes_batch(
-            tokenize_series(b[text_col]).map(
-                lambda ws: ws if len(ws) >= k else []), k)
-        lens = np.array([len(h) for h in hvs], dtype=np.int64)
+        _, hvs = _pos_hash_batch(b)
+        uniqs = [np.unique(h) for h in hvs if len(h)]
+        total = sum(len(u) for u in uniqs)
         return pd.DataFrame({
-            "sh": (np.concatenate(hvs).astype(np.int64) if lens.sum()
+            "sh": (np.concatenate(uniqs).astype(np.int64) if total
                    else np.array([], dtype=np.int64)),
-            "n": np.ones(int(lens.sum()), dtype=np.int64),
+            "n": np.ones(total, dtype=np.int64),
         })
 
     df_counts = two_phase_agg(ds, doc_distinct, ["sh"], ["n"],
@@ -986,24 +1020,18 @@ def dup_ngram_coverage(ds, id_col="doc_id", text_col="text",
         batch_format="pandas").materialize()
 
     def positions(b: pd.DataFrame) -> pd.DataFrame:
-        toks = tokenize_series(b[text_col])
-        ids, poss, shs = [], [], []
-        cache: dict[str, np.uint64] = {}
-        for did, ws in zip(b[id_col].to_numpy(np.int64), toks):
-            if len(ws) < k:
-                continue
-            for i in range(len(ws) - k + 1):
-                key = " ".join(ws[i:i + k])
-                h = cache.get(key)
-                if h is None:
-                    h = _hash64(key)
-                    cache[key] = h
-                ids.append(did)
-                poss.append(i)
-                shs.append(np.int64(h))
-        return pd.DataFrame({id_col: np.array(ids, dtype=np.int64),
-                             "pos": np.array(poss, dtype=np.int64),
-                             "sh": np.array(shs, dtype=np.int64)})
+        ids, hvs = _pos_hash_batch(b)
+        counts = np.array([len(h) for h in hvs], dtype=np.int64)
+        if counts.sum() == 0:
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64),
+                                 "pos": np.array([], dtype=np.int64),
+                                 "sh": np.array([], dtype=np.int64)})
+        return pd.DataFrame({
+            id_col: np.repeat(ids, counts),
+            "pos": np.concatenate([np.arange(c, dtype=np.int64)
+                                   for c in counts]),
+            "sh": np.concatenate(hvs).astype(np.int64),
+        })
 
     probe = ds.map_batches(positions, batch_format="pandas")
     if dup.count() <= broadcast_max:
@@ -1040,6 +1068,31 @@ def dup_ngram_coverage(ds, id_col="doc_id", text_col="text",
         return base.map_batches(
             lambda b: b.assign(covered_tokens=np.int64(0)),
             batch_format="pandas")
+    if n_cov <= broadcast_max:
+        # small covered set (<= one row per doc): broadcast sorted
+        # (doc, covered) arrays, one searchsorted per batch — no
+        # left-outer join pool (the engine-wide small-side policy)
+        import ray
+
+        from .knn import cached_state
+
+        cdf = cov_in.to_pandas().sort_values(id_col, kind="mergesort")
+        ref = ray.put((cdf[id_col].to_numpy(np.int64),
+                       cdf["covered_tokens"].to_numpy(np.int64)))
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            kk, cc = cached_state(f"dngc-{id(ref)}",
+                                  lambda: ray.get(ref))
+            out = np.zeros(len(b), dtype=np.int64)
+            if len(kk):
+                dv = b[id_col].to_numpy(np.int64)
+                pos = np.searchsorted(kk, dv)
+                pos[pos >= len(kk)] = 0
+                hit = kk[pos] == dv
+                out[hit] = cc[pos[hit]]
+            return b.assign(covered_tokens=out)
+
+        return base.map_batches(attach, batch_format="pandas")
     joined = join_safe(base, n_parts).join(
         cov_in, "left_outer", n_parts, on=(id_col,))
 
