@@ -620,6 +620,64 @@ SELECT point_id, street_id, round(dist_km, 6) AS dist_km FROM d WHERE rn = 1
 """
 
 
+MATCH_KM = 500.0
+
+
+def q_track_map_match(sf_dir: str):
+    """Trajectory MAP-MATCHING summary: every track point snaps to
+    its nearest street segment (the broadcast-compiled
+    reverse-geocode stage, planar projection per rtree.go:656-682's
+    nearest-neighbor role), and each track reports how many of its
+    points matched within 500 km — the match-rate gate a
+    map-matching pipeline runs before trusting a trace.  Output:
+    (point_id, n_points, n_matched)."""
+    from ..stages.agg import two_phase_agg
+
+    geocoded = knn.reverse_geocode(fence_events(sf_dir),
+                                   nation_segments(sf_dir))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["street_dist_km"].to_numpy() <= MATCH_KM)
+        return (pd.DataFrame({"point_id": b["point_id"],
+                              "n_points": np.int64(1),
+                              "n_matched": m.astype(np.int64)})
+                .groupby("point_id", sort=False, as_index=False).sum())
+
+    return two_phase_agg(geocoded, partial, ["point_id"],
+                         ["n_points", "n_matched"])
+
+
+def _sql_track_map_match() -> str:
+    seg = f"""
+s AS (SELECT CAST(n_nationkey AS BIGINT) AS street_id,
+             {sql_lat('n_nationkey*31+11')} AS alat, {sql_lon('n_nationkey*31+11')} AS alon,
+             {sql_lat('n_nationkey*31+12')} AS blat, {sql_lon('n_nationkey*31+12')} AS blon
+      FROM nation)"""
+    return f"""
+WITH p AS (SELECT seq, point_id, lat, lon FROM ({SQL_EVENT_POINTS})),
+{seg},
+pr AS (SELECT p.point_id, p.seq, p.lat, p.lon,
+              s.alat + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
+                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
+                       * (s.blat-s.alat) AS plat,
+              s.alon + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
+                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
+                       * (s.blon-s.alon) AS plon
+       FROM p CROSS JOIN s),
+d AS (SELECT point_id, seq,
+             MIN({sql_haversine('lat', 'lon', 'plat', 'plon')}) AS dist_km
+      FROM pr GROUP BY 1, 2)
+SELECT point_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN dist_km <= {MATCH_KM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched
+FROM d GROUP BY 1
+"""
+
+
+SQL_TRACK_MAP_MATCH = _sql_track_map_match()
+
+
 def q_geofence_transitions(sf_dir: str):
     return geofence.fence_transitions(
         fence_events(sf_dir), supplier_fences(sf_dir), nearest_n=3, concurrency=2
@@ -3963,6 +4021,7 @@ def registry():
         "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
         "char_percentiles": (q_char_percentiles, SQL_CHAR_PERCENTILES),
         "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
+        "track_map_match": (q_track_map_match, SQL_TRACK_MAP_MATCH),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
