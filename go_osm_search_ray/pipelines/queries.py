@@ -3967,6 +3967,261 @@ GROUP BY term
 """
 
 
+def q_stay_points(sf_dir: str):
+    """TRAJECTORY DWELL (stay-point) DETECTION: maximal runs of
+    consecutive same-entity positions whose hop distance stays within
+    STAY_RADIUS_KM, kept when the run has >= 2 points.  Engine-canonical
+    variant of Li et al. 2008's stay points using the consecutive-hop
+    (lag) criterion — fully vectorizable and windowed-SQL-expressible,
+    unlike the anchor-extension original.  Same scale shape as
+    track_lengths: bucket-hash on point_id, ONE vectorized
+    sort + shift + haversine + per-point cumsum run labeling per
+    bucket (fence_index.go:50-73's keyed lag, batch form)."""
+    from ..stages.agg import bucketed_group_apply
+
+    ev = fence_events(sf_dir)
+    r_km = STAY_RADIUS_KM
+
+    def stay_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["point_id", "seq"], kind="mergesort")
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        pid = g["point_id"].to_numpy()
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = pid[1:] == pid[:-1]
+        brk = np.ones(n, dtype=np.int64)
+        if same.any():
+            plat = np.roll(lat, 1)[same]
+            plon = np.roll(lon, 1)[same]
+            d = geo.haversine_km(plat, plon, lat[same], lon[same])
+            brk[same] = (d > r_km).astype(np.int64)
+        df = pd.DataFrame({"point_id": pid, "seq": g["seq"].to_numpy(),
+                           "lat": lat, "lon": lon})
+        rg = np.cumsum(brk)  # global run counter within the bucket
+        # per-point run id: first row of each point always breaks, so
+        # the point's min global counter anchors its run numbering
+        base = pd.Series(rg).groupby(df["point_id"], sort=False) \
+            .transform("min").to_numpy()
+        df["run_id"] = rg - base + 1
+        out = df.groupby(["point_id", "run_id"], sort=False,
+                         as_index=False).agg(
+            n_points=("seq", "size"), seq_start=("seq", "min"),
+            seq_end=("seq", "max"),
+            min_lat=("lat", "min"), max_lat=("lat", "max"),
+            min_lon=("lon", "min"), max_lon=("lon", "max"))
+        return out[out["n_points"] >= 2]
+
+    res = bucketed_group_apply(ev, ["point_id"], stay_bucket)
+    return res.map_batches(
+        lambda b: _round6(b, ["min_lat", "max_lat", "min_lon", "max_lon"]),
+        batch_format="pandas")
+
+
+STAY_RADIUS_KM = 2000.0
+
+SQL_STAY_POINTS = f"""
+WITH ev AS ({SQL_EVENT_POINTS}),
+l AS (SELECT point_id, seq, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM ev WINDOW w AS (PARTITION BY point_id ORDER BY seq)),
+b AS (SELECT *, CASE WHEN plat IS NULL
+                      OR {sql_haversine('plat', 'plon', 'lat', 'lon')} > {STAY_RADIUS_KM}
+                     THEN 1 ELSE 0 END AS brk FROM l),
+r AS (SELECT *, SUM(brk) OVER (PARTITION BY point_id ORDER BY seq
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM b)
+SELECT point_id, CAST(run_id AS BIGINT) AS run_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(seq) AS seq_start, MAX(seq) AS seq_end,
+       round(MIN(lat), 6) AS min_lat, round(MAX(lat), 6) AS max_lat,
+       round(MIN(lon), 6) AS min_lon, round(MAX(lon), 6) AS max_lon
+FROM r GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_cdc_upsert(sf_dir: str):
+    """CHANGELOG MATERIALIZATION (CDC compaction): apply an
+    insert/update/delete stream last-writer-wins per entity and emit
+    the live final state — the batch form of the reference's
+    read-modify-write point store (kv_db.go:109-137, every update
+    overwrites the entity's row; geofence UpdateFencePoint semantics).
+    Ops derive deterministically from the event stream (signup=I,
+    error=D, rest=U); order is (ts, event_id).  Scale shape: bucket-hash
+    on entity_id -> ONE vectorized sort + drop_duplicates(keep=last) per
+    bucket; no per-entity dispatch, entity space unbounded."""
+    from ..stages.agg import bucketed_group_apply
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        op = np.where(b["event_type"] == "signup", "I",
+                      np.where(b["event_type"] == "error", "D", "U"))
+        return pd.DataFrame({"entity_id": b["user_id"].to_numpy(np.int64),
+                             "ts": b["ts"], "event_id": b["event_id"],
+                             "op": op, "value": b["value"]})
+
+    def last_writer(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["entity_id", "ts", "event_id"],
+                          kind="mergesort")
+        n_ops = g.groupby("entity_id", sort=False)["op"].transform("size")
+        g = g.assign(n_ops=n_ops.to_numpy(np.int64))
+        last = g.drop_duplicates("entity_id", keep="last")
+        live = last[last["op"] != "D"]
+        return pd.DataFrame({
+            "entity_id": live["entity_id"].to_numpy(np.int64),
+            "last_op": live["op"].to_numpy(),
+            "last_value": live["value"].to_numpy(),
+            "n_ops": live["n_ops"].to_numpy(np.int64),
+            "last_ts": live["ts"].to_numpy(),
+        })
+
+    return bucketed_group_apply(ds.map_batches(derive,
+                                               batch_format="pandas"),
+                                ["entity_id"], last_writer)
+
+
+SQL_CDC_UPSERT = """
+WITH c AS (SELECT CAST(user_id AS BIGINT) AS entity_id, ts, event_id,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       ELSE 'U' END AS op,
+                  value
+           FROM events),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY entity_id) AS n_ops
+      FROM c)
+SELECT entity_id, op AS last_op, value AS last_value,
+       CAST(n_ops AS BIGINT) AS n_ops, ts AS last_ts
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+LATENESS_US = 300 * 1_000_000  # 5-minute allowed lateness
+
+
+def q_late_events(sf_dir: str):
+    """WATERMARK LATE-DATA DETECTION: events whose EVENT TIME trails
+    the max-event-time watermark (over arrival order = event_id) by
+    more than 5 minutes.  The testdata event stream is perfectly
+    in-order, so the event time is deterministically backdated for 10%
+    of events (up to 4 h, key-derived — same expression in the SQL
+    mirror) to model a realistic out-of-order source.  Distributed
+    prefix-max, no global sort — see agg.watermark_late for the
+    two-pass shape."""
+    from ..stages.agg import watermark_late
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+
+    def backdate(b: pd.DataFrame) -> pd.DataFrame:
+        ev = b["event_id"].to_numpy(np.int64)
+        jit = np.where(ev % 10 == 0, (ev * 2654435761) % 14400, 0)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_id": ev, "user_id": b["user_id"].to_numpy(np.int64),
+            "ts": (ts - jit * 1_000_000).astype("datetime64[us]"),
+        })
+
+    return watermark_late(ds.map_batches(backdate, batch_format="pandas"),
+                          "event_id", "ts", LATENESS_US,
+                          keep_cols=["event_id", "user_id"])
+
+
+SQL_LATE_EVENTS = f"""
+WITH e AS (SELECT event_id, user_id,
+                  ts - INTERVAL 1 SECOND *
+                      (CASE WHEN event_id % 10 = 0
+                            THEN (event_id * 2654435761) % 14400
+                            ELSE 0 END) AS ts
+           FROM events),
+w AS (SELECT event_id, user_id, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm
+      FROM e)
+SELECT event_id, user_id, ts, wm AS wm_ts,
+       CAST(epoch_us(wm) - epoch_us(ts) AS BIGINT) AS late_us
+FROM w
+WHERE wm IS NOT NULL AND epoch_us(wm) - epoch_us(ts) > {LATENESS_US}
+"""
+
+
+PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def q_profile_columns(sf_dir: str):
+    """DATA-QUALITY COLUMN PROFILER: per column of lineitem — row
+    count, null count, EXACT distinct count.  Scale shape: one read;
+    per-batch partials collapse each block to its per-column unique
+    values ((col, value-hash) pairs) + null/row counts; distinct
+    finishing is a bucket-hash shuffle on the value hash (unbounded
+    value spaces never meet the driver), counts finish in one tiny
+    combine.  All-integer output (oracle design rule)."""
+    from ..stages.agg import two_phase_agg
+
+    ds = read_table(sf_dir, "lineitem", columns=PROFILE_COLS)
+
+    # null + row counts: bounded key space (11 columns) -> driver combine
+    def counts_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col_name": PROFILE_COLS,
+            "n_rows": np.int64(len(b)),
+            "n_null": [np.int64(b[c].isna().sum()) for c in PROFILE_COLS],
+        })
+
+    counts = two_phase_agg(ds, counts_partial, ["col_name"],
+                           ["n_rows", "n_null"], combine="driver")
+
+    # exact distinct: per-block unique (col, hash64(value)) pairs ->
+    # bucket-hash dedup+count (disjoint hash slices sum exactly)
+    def uniq_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in PROFILE_COLS:
+            s = b[c].dropna()
+            h = pd.util.hash_pandas_object(
+                s.drop_duplicates(), index=False).to_numpy(np.uint64)
+            frames.append(pd.DataFrame({
+                "col_name": c, "_h": np.unique(h)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col_name", "_h"])
+        return d.groupby("col_name", sort=False, as_index=False) \
+            .agg(n_distinct=("_h", "size"))
+
+    from ..stages.agg import bucketed_group_apply
+    dis = bucketed_group_apply(
+        read_table(sf_dir, "lineitem", columns=PROFILE_COLS)
+        .map_batches(uniq_partial, batch_format="pandas"),
+        ["col_name", "_h"], distinct_bucket).to_pandas()
+    dis = dis.groupby("col_name", sort=False, as_index=False)["n_distinct"] \
+        .sum()
+    out = counts.merge(dis, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def _sql_profile() -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_null, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct "
+        f"FROM lineitem"
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SQL_PROFILE_COLUMNS = _sql_profile()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3993,6 +4248,7 @@ def registry():
         "geofence_transitions": (q_geofence_transitions, SQL_GEOFENCE),
         "fence_last_positions": (q_fence_last_positions, SQL_LAST_POSITIONS),
         "track_lengths": (q_track_lengths, SQL_TRACK_LENGTHS),
+        "stay_points": (q_stay_points, SQL_STAY_POINTS),
         # text / search
         "postings_pairs": (q_postings_pairs, SQL_POSTINGS),
         "term_df": (q_term_df, SQL_TERM_DF),
@@ -4049,6 +4305,9 @@ def registry():
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "events_window_join": (q_events_window_join, SQL_EVENTS_WINDOW_JOIN),
+        "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
+        "late_events": (q_late_events, SQL_LATE_EVENTS),
+        "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
         "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),

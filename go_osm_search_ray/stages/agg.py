@@ -479,3 +479,100 @@ def dictionary_encode(ds, col: str, out_col: str | None = None,
         return b[cols]
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def watermark_late(ds, seq_col: str, ts_col: str, lateness_us: int,
+                   range_size: int = 4096, keep_cols: list[str] | None = None,
+                   n_buckets: int = 64):
+    """LATE-DATA DETECTION under a max-event-time watermark (the
+    streaming-ingestion gate the reference's per-event geofence flow
+    implies but never needed single-process, fence_index.go:50-73): an
+    event is LATE iff the watermark — the maximum event time seen
+    strictly BEFORE it in arrival order (`seq_col`) — exceeds its own
+    event time by more than `lateness_us`.
+
+    This is a PREFIX-MAX over arrival order, distributed in two passes
+    so no global sort touches the data:
+
+      pass 1  per-arrival-range (seq // range_size) MAX(ts): per-batch
+              partials collapse to O(ranges-per-block) rows, the
+              combine is driver-side over a BOUNDED set (#ranges —
+              size range_size to the cluster so #ranges stays ~1e5
+              even at 1e9 events, a few MB);
+      carry   exclusive running max across sorted range ids (tiny
+              driver numpy scan) -> broadcast dict;
+      pass 2  bucket-hash on range id (bucketed_group_apply — range
+              count grows with data, so no groupby(range).map_groups),
+              within a bucket ONE vectorized sort + per-range
+              cythonized cummax/shift gives the in-range exclusive
+              prefix; watermark = max(carry-in, in-range prefix).
+
+    Returns the late rows only: keep_cols + ts + wm_ts + late_us."""
+    import numpy as np
+
+    keep_cols = list(keep_cols or [seq_col])
+
+    def range_partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = (b[seq_col].to_numpy(np.int64) // range_size)
+        t = _col_us(b[ts_col])
+        return pd.DataFrame({"_range": r, "_mx": t}).groupby(
+            "_range", sort=False, as_index=False).max()
+
+    parts = ds.map_batches(range_partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=keep_cols + [ts_col, "wm_ts", "late_us"])
+    rng_max = parts.groupby("_range", sort=True)["_mx"].max()
+    ids = rng_max.index.to_numpy(np.int64)
+    mx = rng_max.to_numpy(np.int64)
+    excl = np.empty_like(mx)
+    excl[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(mx[:-1], out=mx[:-1])
+    excl[1:] = mx[:-1]
+    carry = {int(i): int(v) for i, v in zip(ids, excl)}
+
+    def late_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_range"] = g[seq_col].to_numpy(np.int64) // range_size
+        g["_us"] = _col_us(g[ts_col])
+        g = g.sort_values(["_range", seq_col], kind="mergesort")
+        grp = g.groupby("_range", sort=False)
+        in_range = grp["_us"].cummax().groupby(
+            g["_range"], sort=False).shift(1)
+        carry_in = g["_range"].map(carry).astype(np.int64)
+        wm = np.maximum(
+            carry_in.to_numpy(np.int64),
+            in_range.fillna(np.iinfo(np.int64).min).to_numpy(np.int64),
+        )
+        us = g["_us"].to_numpy(np.int64)
+        # the first event overall has no watermark (sentinel int64.min:
+        # subtracting would wrap) — it can never be late
+        valid = wm != np.iinfo(np.int64).min
+        diff = np.zeros_like(us)
+        diff[valid] = wm[valid] - us[valid]
+        late = valid & (diff > lateness_us)
+        out = g.loc[late, keep_cols + [ts_col]].copy()
+        out["wm_ts"] = wm[late].astype("datetime64[us]")
+        out["late_us"] = diff[late]
+        return out
+
+    return _late_apply(ds, seq_col, range_size, late_bucket, n_buckets)
+
+
+def _late_apply(ds, seq_col, range_size, late_bucket, n_buckets):
+    """bucketed_group_apply on the derived range id (not a stored
+    column): add the bucket key from seq//range_size, then reuse the
+    bucket-hash shuffle."""
+    import numpy as np
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(_bucket=pd.Series([], dtype="uint64"))
+        r = b[seq_col].to_numpy(np.int64) // range_size
+        h = r.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return b.assign(_bucket=h % np.uint64(n_buckets))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return late_bucket(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(run, batch_format="pandas"))
