@@ -4222,6 +4222,67 @@ def _sql_profile() -> str:
 SQL_PROFILE_COLUMNS = _sql_profile()
 
 
+BPE_MERGES = 12
+
+
+def q_bpe_encode(sf_dir: str):
+    """LEARNED SUBWORD TOKENIZATION (BPE, Sennrich et al. 2016): train
+    the merge table with distributed iterations over the unique-word
+    table (stages/bpe.train — one corpus scan for word counts, then
+    per-iteration pair-count partials + bucket-hash combine + top-1
+    fan-in), then encode every document in one map stage.  ORACLED via
+    the trained-state technique (_ivf_assign_sql): the merge list is
+    re-derived by the local reference trainer at the driver's
+    correctness sf and inlined as a chain of replace() calls — the
+    sentinel symbolization makes Python/pandas/DuckDB replace
+    semantics identical (bpe.py module docstring)."""
+    from ..stages import bpe
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe.train(docs, n_merges=BPE_MERGES)
+    return bpe.encode_docs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), merges)
+
+
+_BPE_SQL_CACHE: list = []
+
+
+def _bpe_sql(sf_dir: str = "/root/testdata/sf0.01"):
+    """Inline the locally-retrained merge list (identical to the
+    distributed trainer by exact-integer determinism — pytest-pinned)
+    as a replace() chain."""
+    if _BPE_SQL_CACHE:
+        return _BPE_SQL_CACHE[0]
+    import os
+
+    f = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(f):
+        _BPE_SQL_CACHE.append(None)
+        return None
+    import pyarrow.parquet as pq
+
+    from ..stages import bpe
+    from ..stages import text as _t
+
+    texts = pq.read_table(f, columns=["text"])["text"].to_pandas()
+    flat = pd.Series([w for ws in _t.tokenize_series(texts) for w in ws])
+    wc = flat.value_counts().to_dict()
+    merges = bpe.train_words(wc, n_merges=BPE_MERGES)
+    enc = r"trim(regexp_replace(w, '(.)', '|\1| ', 'g'))"
+    for a, b in merges:
+        enc = f"replace({enc}, '|{a}| |{b}|', '|{a}{b}|')"
+    sql = f"""
+WITH w AS (SELECT doc_id, t.w AS w FROM documents, unnest({TOK}) AS t(w)),
+s AS (SELECT doc_id, w, {enc} AS enc FROM w)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(enc, ' '))) AS BIGINT) AS n_subwords,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars
+FROM s GROUP BY doc_id
+"""
+    _BPE_SQL_CACHE.append(sql)
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4334,6 +4395,7 @@ def registry():
         # centroids are inlined as a VALUES table and the assignment is
         # verified row for row (q_ivf_assign docstring)
         "ivf_assign": (q_ivf_assign, _ivf_assign_sql()),
+        "bpe_encode": (q_bpe_encode, _bpe_sql()),
         "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
         "search_fulltext": (q_search_fulltext, SQL_SEARCH_FULLTEXT),
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
