@@ -4283,6 +4283,63 @@ FROM s GROUP BY doc_id
     return sql
 
 
+def q_lm_doc_stats(sf_dir: str):
+    """CORPUS-SCALE LM FAMILIARITY SCORING (the CCNet-style quality
+    gate, Wenzek et al. 2020, built from the reference's 4-gram LM
+    machinery ngram_lm.go:105-210/301-342): per document, the
+    stupid-backoff LEVEL histogram — how many positions matched a
+    corpus 4-gram / 3-gram / 2-gram / fell to unigram (n-gram counts
+    thresholded at 2 so a doc's own singletons don't self-match).
+    Fully distributed: count tables stay sharded, membership = three
+    hash left-joins (stages/lm.backoff_stats)."""
+    from ..stages import lm
+
+    return lm.backoff_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_LM_DOC_STATS = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+vocab AS (SELECT term FROM (
+    SELECT tt.term, COUNT(*) AS c FROM documents d,
+           unnest({TOK}) AS tt(term) GROUP BY 1) WHERE c >= 2),
+w AS (SELECT doc_id, u.i AS pos, t[u.i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+wv AS (SELECT w.doc_id, w.pos,
+              CASE WHEN v.term IS NULL THEN '<unk>' ELSE w.tok END AS tok
+       FROM w LEFT JOIN vocab v ON v.term = w.tok),
+seq AS (SELECT doc_id,
+               ['<s>','<s>','<s>'] || list(tok ORDER BY pos) || ['</s>'] AS t
+        FROM wv GROUP BY doc_id),
+win AS (SELECT doc_id, u.i AS i, len(t) AS L,
+               t[u.i] AS w0, t[u.i+1] AS w1, t[u.i+2] AS w2, t[u.i+3] AS w3
+        FROM seq, unnest(range(1, len(t) + 1)) AS u(i)),
+f4 AS (SELECT g FROM (SELECT w0||' '||w1||' '||w2||' '||w3 AS g, COUNT(*) c
+                      FROM win WHERE i <= L - 3 GROUP BY 1) WHERE c >= 2),
+f3 AS (SELECT g FROM (SELECT w0||' '||w1||' '||w2 AS g, COUNT(*) c
+                      FROM win WHERE i <= L - 2 GROUP BY 1) WHERE c >= 2),
+f2 AS (SELECT g FROM (SELECT w0||' '||w1 AS g, COUNT(*) c
+                      FROM win WHERE i <= L - 1 GROUP BY 1) WHERE c >= 2),
+p AS (SELECT doc_id,
+             w0||' '||w1||' '||w2||' '||w3 AS g4,
+             w1||' '||w2||' '||w3 AS g3,
+             w2||' '||w3 AS g2
+      FROM win WHERE i <= L - 3),
+lv AS (SELECT doc_id,
+              CASE WHEN g4 IN (SELECT g FROM f4) THEN 4
+                   WHEN g3 IN (SELECT g FROM f3) THEN 3
+                   WHEN g2 IN (SELECT g FROM f2) THEN 2
+                   ELSE 1 END AS level
+       FROM p)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN level = 4 THEN 1 ELSE 0 END) AS BIGINT) AS l4,
+       CAST(SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS l3,
+       CAST(SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+       CAST(SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1
+FROM lv GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4396,6 +4453,7 @@ def registry():
         # verified row for row (q_ivf_assign docstring)
         "ivf_assign": (q_ivf_assign, _ivf_assign_sql()),
         "bpe_encode": (q_bpe_encode, _bpe_sql()),
+        "lm_doc_stats": (q_lm_doc_stats, SQL_LM_DOC_STATS),
         "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
         "search_fulltext": (q_search_fulltext, SQL_SEARCH_FULLTEXT),
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
