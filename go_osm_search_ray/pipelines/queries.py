@@ -4340,6 +4340,83 @@ FROM lv GROUP BY doc_id
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster-scoped
+    exact-cosine near-dup removal — kmeans assignment (the ivf_assign
+    fixed-recipe), per-cluster pair compute, distributed connected
+    components, keep min-id per component (embed.semantic_dedup).
+    Oracle: inlined-centroid argmin assignment + cluster-restricted
+    cosine pairs + recursive-CTE transitive closure."""
+    import pyarrow.parquet as pq_mod
+    import os
+
+    f = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq_mod.read_table(f, columns=["embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
+    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embed.semantic_dedup(ds, cents, threshold=0.4)
+
+
+_SEMDEDUP_SQL_CACHE: list = []
+
+
+def _semantic_dedup_sql(sf_dir: str = "/root/testdata/sf0.01"):
+    if _SEMDEDUP_SQL_CACHE:
+        return _SEMDEDUP_SQL_CACHE[0]
+    import os
+
+    f = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(f):
+        _SEMDEDUP_SQL_CACHE.append(None)
+        return None
+    import pyarrow.parquet as pq_mod
+
+    emb = pq_mod.read_table(f, columns=["embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
+    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    n_c, n_d = cents.shape
+    values = ",".join(
+        f"({cid},{dim + 1},{float(cents[cid, dim])!r})"
+        for cid in range(n_c) for dim in range(n_d)
+    )
+    sql = f"""
+WITH RECURSIVE
+cents(cid, dim, val) AS (VALUES {values}),
+e AS (SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, {n_d + 1})) AS u(i)),
+d AS (SELECT e.vec_id, c.cid, SUM((e.x - c.val)*(e.x - c.val)) AS dist
+      FROM e JOIN cents c ON c.dim = e.dim GROUP BY 1, 2),
+a AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d),
+asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM e GROUP BY 1),
+dot AS (SELECT aa.vec_id AS id_a, bb.vec_id AS id_b, SUM(aa.x*bb.x) AS dd
+        FROM e aa JOIN e bb ON aa.dim = bb.dim AND aa.vec_id < bb.vec_id
+        JOIN asg ca ON ca.vec_id = aa.vec_id
+        JOIN asg cb ON cb.vec_id = bb.vec_id AND ca.cluster = cb.cluster
+        GROUP BY 1, 2),
+near AS (SELECT id_a, id_b
+         FROM dot JOIN norms na ON na.vec_id = id_a
+                  JOIN norms nb ON nb.vec_id = id_b
+         WHERE dd/(na.nrm*nb.nrm) >= 0.4),
+edges AS (SELECT id_a AS a, id_b AS b FROM near
+          UNION ALL SELECT id_b, id_a FROM near),
+walk(node, reach) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.node, e2.b FROM walk w JOIN edges e2 ON e2.a = w.reach
+),
+roots AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node)
+SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster FROM asg
+WHERE asg.vec_id NOT IN (SELECT node FROM roots WHERE root < node)
+"""
+    _SEMDEDUP_SQL_CACHE.append(sql)
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4412,6 +4489,7 @@ def registry():
         "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),
         "ivf_search": (q_ivf_search, SQL_EMBEDDING_KNN),
         "pq_encode": (q_pq_encode, _pq_encode_sql()),
+        "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
         "pq_search": (q_pq_search, _pq_search_sql()),
         "ivfpq_search": (q_ivfpq_search, _pq_search_sql()),
         # relational coverage

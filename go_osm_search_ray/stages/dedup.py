@@ -400,6 +400,15 @@ def cc_labels(pairs_ds, num_partitions: int | None = None, max_iters: int = 25,
         pairs_ds.map_batches(sym, batch_format="pandas"), num_partitions
     ).materialize()
 
+    if edges.count() == 0:
+        # an all-empty pair set repartitions to schema-LESS blocks
+        # (the ensure_schema gotcha) — return a typed empty label set
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype=np.int64),
+            "label": pd.Series([], dtype=np.int64)}))
+
     if edges.count() <= task_threshold:
         import ray
         import ray.data as rd

@@ -657,3 +657,70 @@ def ivfpq_topk(ds, centroids: np.ndarray, codebooks: np.ndarray,
     partials = ds.map_batches(part_fn, batch_format="pyarrow",
                               batch_size=batch_size)
     return _finalize_adc(partials, k, id_col)
+
+
+def semantic_dedup(ds, centroids: np.ndarray, threshold: float = 0.4,
+                   id_col: str = "vec_id", n_buckets: int = 64):
+    """SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023): k-means
+    cluster the embedding space, compute exact cosine pairs ONLY
+    within a cluster, connect the >= threshold pairs, and keep one
+    representative (min id) per component plus every un-paired row.
+
+    Scale shape: the cluster assignment is the IVF partition key
+    (ivf_assign, task mode), pair compute is bucket-hashed on the
+    cluster id — each bucket runs one triangular matmul PER CLUSTER it
+    holds, so the quadratic cost is bounded by the largest cluster
+    (that is the SemDeDup bargain: k controls the blow-up, k ~ sqrt(n)
+    at corpus scale), the component resolution is the distributed
+    cc_labels loop, and the keep set is a hash anti-join — no stage
+    ever materializes the corpus on the driver.
+
+    Returns a Dataset of kept (id_col, cluster)."""
+    from .dedup import cc_labels
+    from .agg import bucketed_group_apply, default_join_partitions, \
+        ensure_schema, join_safe
+
+    assigned = ivf_assign(ds, centroids, id_col).materialize()
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby("ivf_bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col, kind="mergesort")
+            m = np.asarray(grp["embedding"].tolist(), dtype=np.float64)
+            dots = m @ m.T
+            nrm = np.sqrt((m * m).sum(axis=1))
+            ii, jj = np.triu_indices(len(grp), 1)
+            cos = dots[ii, jj] / (nrm[ii] * nrm[jj])
+            hit = cos >= threshold
+            ids = grp[id_col].to_numpy(np.int64)
+            frames.append(pd.DataFrame({"id_a": ids[ii[hit]],
+                                        "id_b": ids[jj[hit]]}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = bucketed_group_apply(assigned, ["ivf_bucket"], pairs_bucket,
+                                 n_buckets=n_buckets)
+    labels = cc_labels(pairs)
+    n_part = default_join_partitions()
+
+    def drops(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b["label"] != b["node"]]
+        return pd.DataFrame({id_col: d["node"].to_numpy(np.int64)})
+
+    drop = ensure_schema(
+        join_safe(labels.map_batches(drops, batch_format="pandas"), n_part),
+        {id_col: np.int64}).materialize()
+    slim = assigned.select_columns([id_col, "ivf_bucket"])
+    if drop.count() == 0:
+        # this Ray's hash join cannot take a zero-row right side
+        # (schema-less aggregator partitions) — nothing to drop anyway
+        kept = slim
+    else:
+        kept = slim.join(drop, "left_anti", n_part, on=(id_col,))
+    return kept.map_batches(
+        lambda b: b.rename(columns={"ivf_bucket": "cluster"}),
+        batch_format="pandas")
