@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "chunk_windows", "source_mix_sample", "dup_ngram_coverage",
     "image_edge_energy", "video_scene_changes", "corpus_prep",
     "char_percentiles", "retention_cohorts", "dict_encode",
+    # round-3 session-3 additions
+    "late_events", "cdc_upsert", "stay_points", "profile_columns",
+    "bpe_encode", "lm_doc_stats", "semantic_dedup",
 ]
 
 
