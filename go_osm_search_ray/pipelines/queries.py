@@ -4417,6 +4417,187 @@ WHERE asg.vec_id NOT IN (SELECT node FROM roots WHERE root < node)
     return sql
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at distinct-signature granularity (the
+    phash_near_pairs shape over TEXT): collapse exact-signature
+    clusters first, then banded LSH (8 bands of 8 bits — exact for
+    hamming <= 7 by pigeonhole) + XOR-popcount verify
+    (dedup.hamming_dup_pairs).  All-int output
+    (id_a, id_b, hamming, n_a, n_b)."""
+    from ..stages.agg import bucketed_group_apply
+
+    sigs = dedup.simhash_signatures(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("simhash", sort=False)
+                 .agg(rep_id=("doc_id", "min"), n_docs=("doc_id", "size"))
+                 .reset_index())
+
+    reps = bucketed_group_apply(sigs, ["simhash"], collapse, n_buckets=32)
+    pairs = dedup.hamming_dup_pairs(reps, id_col="rep_id",
+                                    sig_col="simhash", max_hamming=7,
+                                    n_bands=8, carry_cols=["n_docs"],
+                                    max_bucket=None)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"n_docs_a": "n_a", "n_docs_b": "n_b"})
+        b["n_a"] = b["n_a"].astype(np.int64)
+        b["n_b"] = b["n_b"].astype(np.int64)
+        return b[["id_a", "id_b", "hamming", "n_a", "n_b"]]
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({SQL_SIMHASH}),
+sig AS (SELECT simhash AS sig, MIN(doc_id) AS rep, COUNT(*) AS n
+        FROM sh GROUP BY 1)
+SELECT a.rep AS id_a, b.rep AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+       a.n AS n_a, b.n AS n_b
+FROM sig a JOIN sig b ON a.rep < b.rep
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
+"""
+
+
+PACK_CAPACITY = 2048  # tokens per training batch
+PACK_BUCKET_W = 32    # length-class width
+
+
+def q_pack_batches(sf_dir: str):
+    """SEQUENCE PACKING for training-batch assembly: group documents
+    into length classes, then fill fixed token-capacity batches in
+    doc_id order — batch_id = exclusive-running-token-sum // capacity
+    (the cumsum-split convention: deterministic and window-SQL-
+    expressible, unlike stateful first-fit).  The running sum is the
+    distributed keyed prefix-sum primitive (agg.keyed_prefix_sum —
+    the watermark two-pass shape, no global sort)."""
+    from ..stages.agg import keyed_prefix_sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lens(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.count(r"\S+").astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "len_bucket": (n // PACK_BUCKET_W)
+                             .to_numpy(np.int64),
+                             "n_tokens": n.to_numpy(np.int64)})
+
+    rows = ds.map_batches(lens, batch_format="pandas")
+    out = keyed_prefix_sum(rows, "len_bucket", "doc_id", "n_tokens")
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "len_bucket": b["len_bucket"].to_numpy(np.int64),
+            "n_tokens": b["n_tokens"].to_numpy(np.int64),
+            "batch_id": (b["prefix_excl"].to_numpy(np.int64)
+                         // PACK_CAPACITY)}),
+        batch_format="pandas")
+
+
+SQL_PACK_BATCHES = rf"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                      AS n_tokens
+           FROM documents),
+w AS (SELECT doc_id, n_tokens // {PACK_BUCKET_W} AS len_bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY n_tokens // {PACK_BUCKET_W}
+                                 ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS prefix_excl
+      FROM t)
+SELECT doc_id, len_bucket, n_tokens,
+       CAST(prefix_excl // {PACK_CAPACITY} AS BIGINT) AS batch_id
+FROM w
+"""
+
+
+PII_EMAIL = r"[a-z0-9.+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\d{3}-\d{4,}"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII DETECTION + REDACTION (the privacy gate every training-data
+    pipeline runs): emails / IPv4s / phone-like numbers found and
+    replaced, per document.  The testdata text is clean alnum prose,
+    so PII is PLANTED deterministically from doc keys (the
+    fence_events derivation technique) — same expressions in the SQL
+    mirror, so the scrubber is exercised on real positives.  A pure
+    map stage: compiled patterns, vectorized count + replace.  Output
+    integers: match counts + the redacted length."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        txt = b["text"]
+        email = pd.Series(
+            np.where(d % 3 == 0,
+                     [f" contact user{k}@mail.example.com" for k in d], ""),
+            index=txt.index)
+        phone = pd.Series(
+            np.where(d % 5 == 0,
+                     [f" call 555-{1000 + k % 9000} now" for k in d], ""),
+            index=txt.index)
+        ip = pd.Series(
+            np.where(d % 7 == 0,
+                     [f" ip 10.{k % 256}.{(k * 3) % 256}.{(k * 7) % 256}"
+                      for k in d], ""),
+            index=txt.index)
+        t = txt.str.cat(email).str.cat(phone).str.cat(ip)
+        n_em = t.str.count(PII_EMAIL).astype(np.int64)
+        clean = t.str.replace(PII_EMAIL, "[EMAIL]", regex=True)
+        n_ip = clean.str.count(PII_IP).astype(np.int64)
+        clean = clean.str.replace(PII_IP, "[IP]", regex=True)
+        n_ph = clean.str.count(PII_PHONE).astype(np.int64)
+        clean = clean.str.replace(PII_PHONE, "[PHONE]", regex=True)
+        return pd.DataFrame({"doc_id": d,
+                             "n_emails": n_em.to_numpy(np.int64),
+                             "n_ips": n_ip.to_numpy(np.int64),
+                             "n_phones": n_ph.to_numpy(np.int64),
+                             "clean_len": clean.str.len()
+                             .to_numpy(np.int64)})
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+SQL_PII_SCRUB = rf"""
+WITH t AS (SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 || ' now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            ELSE '' END AS txt
+    FROM documents),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(txt, '{PII_EMAIL}')) AS BIGINT)
+                  AS n_emails,
+              regexp_replace(txt, '{PII_EMAIL}', '[EMAIL]', 'g') AS txt
+       FROM t),
+s2 AS (SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(txt, '{PII_IP}')) AS BIGINT)
+                  AS n_ips,
+              regexp_replace(txt, '{PII_IP}', '[IP]', 'g') AS txt
+       FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+              CAST(len(regexp_extract_all(txt, '{PII_PHONE}')) AS BIGINT)
+                  AS n_phones,
+              regexp_replace(txt, '{PII_PHONE}', '[PHONE]', 'g') AS txt
+       FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       CAST(length(txt) AS BIGINT) AS clean_len
+FROM s3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4532,6 +4713,9 @@ def registry():
         "ivf_assign": (q_ivf_assign, _ivf_assign_sql()),
         "bpe_encode": (q_bpe_encode, _bpe_sql()),
         "lm_doc_stats": (q_lm_doc_stats, SQL_LM_DOC_STATS),
+        "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+        "pack_batches": (q_pack_batches, SQL_PACK_BATCHES),
+        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
         "search_fulltext": (q_search_fulltext, SQL_SEARCH_FULLTEXT),
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),

@@ -576,3 +576,65 @@ def _late_apply(ds, seq_col, range_size, late_bucket, n_buckets):
 
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("_bucket").map_groups(run, batch_format="pandas"))
+
+
+def keyed_prefix_sum(ds, key: str, seq_col: str, val_col: str,
+                     range_size: int = 4096, n_buckets: int = 64):
+    """Per-key EXCLUSIVE running sum of `val_col` over `seq_col` order
+    — the distributed window-function SUM() OVER (PARTITION BY key
+    ORDER BY seq), with no global sort: the watermark_late two-pass
+    prefix shape, keyed.
+
+      pass 1  per (key, seq-range) partial sums — bounded by
+              #keys x #ranges rows on the driver (size range_size so
+              this stays small; it is the scan state, not the data);
+      carry   per-key exclusive prefix over sorted range ids (driver
+              numpy scan over the bounded state);
+      pass 2  bucket-hash on (key, range): within a bucket one
+              vectorized sort + per-(key,range) cython cumsum, plus
+              the broadcast carry-in.
+
+    Returns the input rows + `prefix_excl` (int64)."""
+    import numpy as np
+
+    def range_partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = b[seq_col].to_numpy(np.int64) // range_size
+        return pd.DataFrame({key: b[key].to_numpy(),
+                             "_range": r,
+                             "_s": b[val_col].to_numpy(np.int64)}) \
+            .groupby([key, "_range"], sort=False, as_index=False).sum()
+
+    parts = ds.map_batches(range_partial, batch_format="pandas").to_pandas()
+    carry: dict = {}
+    if len(parts):
+        parts = parts.groupby([key, "_range"], sort=True, as_index=False) \
+            .sum().sort_values([key, "_range"], kind="mergesort")
+        k = parts[key].to_numpy()
+        s = parts["_s"].to_numpy(np.int64)
+        cum = np.cumsum(s)
+        first = np.zeros(len(parts), dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        base = np.where(first, 0, np.concatenate([[0], cum[:-1]]))
+        # subtract each key's own start-of-key cumulative
+        key_start = np.maximum.accumulate(
+            np.where(first, np.concatenate([[0], cum[:-1]]), 0))
+        excl = np.where(first, 0, base - key_start)
+        carry = {(kk, int(rr)): int(vv) for kk, rr, vv in
+                 zip(k, parts["_range"].to_numpy(np.int64), excl)}
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_range"] = g[seq_col].to_numpy(np.int64) // range_size
+        g = g.sort_values([key, "_range", seq_col], kind="mergesort")
+        v = g[val_col].to_numpy(np.int64)
+        grp = g.groupby([key, "_range"], sort=False)
+        within = grp[val_col].cumsum().to_numpy(np.int64) - v
+        cin = np.fromiter(
+            (carry[(kk, int(rr))] for kk, rr in
+             zip(g[key].to_numpy(), g["_range"].to_numpy(np.int64))),
+            dtype=np.int64, count=len(g))
+        g["prefix_excl"] = within + cin
+        return g.drop(columns=["_range"])
+
+    return bucketed_group_apply(ds, [key], bucket_fn, n_buckets=n_buckets)
