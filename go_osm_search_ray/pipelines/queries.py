@@ -4598,6 +4598,69 @@ FROM s3
 """
 
 
+KMEANS_K, KMEANS_ITERS = 8, 3
+
+
+def q_kmeans_assign(sf_dir: str):
+    """FULLY DISTRIBUTED k-means training + assignment: Lloyd over the
+    WHOLE embedding table (not a driver sample — embed.kmeans_lloyd_ds),
+    deterministic at any parallelism via fixed-point integer partial
+    sums (the integer-exact rule applied to training), then the argmin
+    assignment.  Oracle: the local reference trainer reproduces the
+    centroids bit-exactly (pytest-pinned) and inlines them as a VALUES
+    table — the ivf_assign technique, now with a distributed-trained
+    quantizer."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = embed.kmeans_lloyd_ds(ds, KMEANS_K, iters=KMEANS_ITERS)
+    out = embed.ivf_assign(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        cents)
+    return out.map_batches(
+        lambda b: pd.DataFrame({"vec_id": b["vec_id"].to_numpy(np.int64),
+                                "cluster": b["ivf_bucket"]
+                                .to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+_KMEANS_SQL_CACHE: list = []
+
+
+def _kmeans_assign_sql(sf_dir: str = "/root/testdata/sf0.01"):
+    if _KMEANS_SQL_CACHE:
+        return _KMEANS_SQL_CACHE[0]
+    import os
+
+    f = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(f):
+        _KMEANS_SQL_CACHE.append(None)
+        return None
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table(f, columns=["vec_id", "embedding"])
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    cents = embed.kmeans_lloyd_local(mat, ids, KMEANS_K, iters=KMEANS_ITERS)
+    n_c, n_d = cents.shape
+    values = ",".join(
+        f"({cid},{dim + 1},{float(cents[cid, dim])!r})"
+        for cid in range(n_c) for dim in range(n_d)
+    )
+    sql = f"""
+WITH cents(cid, dim, val) AS (VALUES {values}),
+e AS (SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, {n_d + 1})) AS u(i)),
+d AS (SELECT e.vec_id, c.cid, SUM((e.x - c.val)*(e.x - c.val)) AS dist
+      FROM e JOIN cents c ON c.dim = e.dim GROUP BY 1, 2),
+a AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a WHERE rn = 1
+"""
+    _KMEANS_SQL_CACHE.append(sql)
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4671,6 +4734,7 @@ def registry():
         "ivf_search": (q_ivf_search, SQL_EMBEDDING_KNN),
         "pq_encode": (q_pq_encode, _pq_encode_sql()),
         "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
+        "kmeans_assign": (q_kmeans_assign, _kmeans_assign_sql()),
         "pq_search": (q_pq_search, _pq_search_sql()),
         "ivfpq_search": (q_ivfpq_search, _pq_search_sql()),
         # relational coverage

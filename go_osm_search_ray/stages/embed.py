@@ -724,3 +724,100 @@ def semantic_dedup(ds, centroids: np.ndarray, threshold: float = 0.4,
     return kept.map_batches(
         lambda b: b.rename(columns={"ivf_bucket": "cluster"}),
         batch_format="pandas")
+
+
+KMEANS_FP_SCALE = 1 << 20  # fixed-point quantum for deterministic sums
+
+
+def _fp(m: np.ndarray) -> np.ndarray:
+    """Embedding matrix -> fixed-point int64 (the determinism quantum:
+    int sums are exactly order-independent, float sums are not)."""
+    return np.rint(np.asarray(m, dtype=np.float64)
+                   * KMEANS_FP_SCALE).astype(np.int64)
+
+
+def kmeans_lloyd_ds(ds, k: int, iters: int = 3, id_col: str = "vec_id"):
+    """FULLY DISTRIBUTED deterministic k-means (Lloyd) over the whole
+    embedding dataset — the scale-honest trainer behind ivf/semantic
+    stages (kmeans_centroids trains on a driver-side sample; a 10^12-
+    vector corpus cannot be sampled onto the driver representatively).
+
+    Determinism across any block order/parallelism (the repo's
+    integer-exact rule applied to training): vectors are quantized to
+    fixed-point int64, per-batch partial (sum, count) accumulators are
+    EXACT integers (commutative), and the centroid update divides the
+    int sums in float64 once per iteration on the driver — so the
+    trained centroids are bit-identical at any cluster size, and a
+    local reference run reproduces them exactly (pytest-pinned, and
+    the oracle-inlining technique stays valid).
+
+    Init = the k vectors with the smallest ids (distributed min-k).
+    Per iteration: one broadcast of the k x d centroid matrix + one
+    corpus scan emitting k x (d+1) integers per block — the driver
+    combine is O(k x d x blocks), never the data.
+
+    Returns (centroids float64 [k, d], the per-iteration shift norms).
+    """
+    import ray
+
+    def seed_part(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(id_col, kind="mergesort").head(k)
+        return s[[id_col, "embedding"]]
+
+    seeds = ds.map_batches(seed_part, batch_format="pandas").to_pandas() \
+        .sort_values(id_col, kind="mergesort").head(k)
+    cents = _fp(np.asarray(seeds["embedding"].tolist())).astype(np.float64) \
+        / KMEANS_FP_SCALE
+    d = cents.shape[1]
+    shifts = []
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(b: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            # argmin over exact squared distances in float64; ties ->
+            # lowest centroid id (argmin convention)
+            dist = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = dist.argmin(1)
+            q = _fp(m)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            out = {"cid": np.arange(k, dtype=np.int64), "n": cnt}
+            for j in range(d):
+                out[f"s{j}"] = sums[:, j]
+            return pd.DataFrame(out)
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        agg = parts.groupby("cid", sort=True).sum()
+        new = cents.copy()
+        nz = agg["n"].to_numpy() > 0
+        sums = agg[[f"s{j}" for j in range(d)]].to_numpy(np.float64)
+        cnts = agg["n"].to_numpy(np.float64)
+        new[nz] = (sums[nz] / cnts[nz, None]) / KMEANS_FP_SCALE
+        shifts.append(float(np.abs(new - cents).max()))
+        cents = new
+    return cents, shifts
+
+
+def kmeans_lloyd_local(mat: np.ndarray, ids: np.ndarray, k: int,
+                       iters: int = 3):
+    """Reference implementation of kmeans_lloyd_ds on in-memory data —
+    must produce bit-identical centroids (integer-exact sums)."""
+    order = np.argsort(ids, kind="mergesort")
+    cents = _fp(mat[order[:k]]).astype(np.float64) / KMEANS_FP_SCALE
+    m = np.asarray(mat, dtype=np.float64)
+    q = _fp(m)
+    for _ in range(iters):
+        dist = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = dist.argmin(1)
+        new = cents.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                new[c] = q[sel].sum(0).astype(np.float64) / sel.sum() \
+                    / KMEANS_FP_SCALE
+        cents = new
+    return cents

@@ -62,3 +62,21 @@ def test_semantic_dedup_cross_cluster_pairs_survive(ray_session):
         ray.data.from_pandas(df), np.stack([c0, c1]), threshold=0.9
     ).to_pandas()
     assert set(kept["vec_id"]) == {1, 2}
+
+
+def test_kmeans_lloyd_ds_bit_equals_local(ray_session):
+    import ray
+
+    rng = np.random.RandomState(5)
+    n, d, k = 400, 12, 6
+    mat = rng.normal(0, 1, (n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    exp = embed.kmeans_lloyd_local(np.asarray(mat, dtype=np.float64),
+                                   ids, k, iters=4)
+    # different block layouts must produce BIT-IDENTICAL centroids
+    for parts in (1, 3, 8):
+        got, shifts = embed.kmeans_lloyd_ds(
+            ray.data.from_pandas(df).repartition(parts), k, iters=4)
+        assert np.array_equal(got, exp)
+    assert shifts[0] > 0  # the iterations actually moved the centroids
