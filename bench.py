@@ -57,7 +57,8 @@ BENCH_QUERIES = [
     "char_percentiles", "retention_cohorts", "dict_encode",
     # round-3 session-3 additions
     "late_events", "cdc_upsert", "stay_points", "profile_columns",
-    "bpe_encode", "lm_doc_stats", "semantic_dedup",
+    "bpe_encode", "lm_doc_stats", "semantic_dedup", "kmeans_assign",
+    "simhash_pairs", "pack_batches", "pii_scrub",
 ]
 
 

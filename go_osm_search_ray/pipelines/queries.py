@@ -4345,17 +4345,17 @@ def q_semantic_dedup(sf_dir: str):
     exact-cosine near-dup removal — kmeans assignment (the ivf_assign
     fixed-recipe), per-cluster pair compute, distributed connected
     components, keep min-id per component (embed.semantic_dedup).
-    Oracle: inlined-centroid argmin assignment + cluster-restricted
-    cosine pairs + recursive-CTE transitive closure."""
-    import pyarrow.parquet as pq_mod
-    import os
-
-    f = os.path.join(sf_dir, "embeddings.parquet")
-    emb = pq_mod.read_table(f, columns=["embedding"])
-    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
-    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    Clusters come from the DISTRIBUTED deterministic trainer
+    (embed.kmeans_lloyd_ds — whole table, not a driver sample; the
+    local reference regenerates the centroids bit-exactly for the
+    oracle).  Oracle: inlined-centroid argmin assignment +
+    cluster-restricted cosine pairs + recursive-CTE transitive
+    closure."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embed.semantic_dedup(ds, cents, threshold=0.4)
+    cents, _ = embed.kmeans_lloyd_ds(ds, KMEANS_K, iters=KMEANS_ITERS)
+    return embed.semantic_dedup(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        cents, threshold=0.4)
 
 
 _SEMDEDUP_SQL_CACHE: list = []
@@ -4372,9 +4372,10 @@ def _semantic_dedup_sql(sf_dir: str = "/root/testdata/sf0.01"):
         return None
     import pyarrow.parquet as pq_mod
 
-    emb = pq_mod.read_table(f, columns=["embedding"])
-    sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
-    cents = embed.kmeans_centroids(sample, 8, iters=5)
+    emb = pq_mod.read_table(f, columns=["vec_id", "embedding"])
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    cents = embed.kmeans_lloyd_local(mat, emb["vec_id"].to_numpy(),
+                                     KMEANS_K, iters=KMEANS_ITERS)
     n_c, n_d = cents.shape
     values = ",".join(
         f"({cid},{dim + 1},{float(cents[cid, dim])!r})"
