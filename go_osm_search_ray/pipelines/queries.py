@@ -4662,6 +4662,82 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a WHERE rn = 1
     return sql
 
 
+IDW_RES = 3            # 8x8 grid
+IDW_RADIUS_KM = 3000.0
+IDW_SMOOTH_KM = 10.0   # avoids the d->0 singularity, both engines
+
+
+def q_idw_grid(sf_dir: str):
+    """INVERSE-DISTANCE-WEIGHTED grid interpolation (the map-algebra
+    surface-fitting op; Shepard 1968): estimate a value surface on a
+    coarse tile grid from scattered observations (customer points,
+    account balances).  Integer-exact: weights are quantized to
+    round(1e8/(d+10)) int64 and balances to cents, so the partial
+    (sum_w, sum_wv) accumulators commute exactly across blocks — the
+    kmeans_lloyd_ds determinism rule.  Scale shape: the GRID is the
+    broadcast side (bounded by resolution), one corpus scan emits
+    per-cell integer partials via a vectorized distance matrix,
+    two-phase combine finishes on the bounded cell space."""
+    n = 1 << IDW_RES
+    ci, cj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    clat = (-90.0 + (ci.ravel() + 0.5) * 180.0 / n)
+    clon = (-180.0 + (cj.ravel() + 0.5) * 360.0 / n)
+    cell = (ci.ravel() * n + cj.ravel()).astype(np.int64)
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        lat, lon = geo.point_from_key(k * 31 + 7)
+        v = np.rint(b["c_acctbal"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        d = geo.haversine_km(lat[:, None], lon[:, None],
+                             clat[None, :], clon[None, :])
+        w = np.rint(1e8 / (d + IDW_SMOOTH_KM)).astype(np.int64)
+        mask = d <= IDW_RADIUS_KM
+        pi, pj = np.nonzero(mask)
+        out = pd.DataFrame({"cell": cell[pj],
+                            "n_obs": np.int64(1),
+                            "sum_w": w[pi, pj],
+                            "sum_wv": w[pi, pj] * v[pi]})
+        return out.groupby("cell", sort=False, as_index=False).sum()
+
+    from ..stages.agg import two_phase_agg
+
+    res = two_phase_agg(ds, partial, ["cell"],
+                        ["n_obs", "sum_w", "sum_wv"], combine="driver")
+    res["idw_cents"] = res["sum_wv"] // res["sum_w"]
+    return res.sort_values("cell").reset_index(drop=True)
+
+
+def _sql_idw() -> str:
+    n = 1 << IDW_RES
+    d = sql_haversine("p.lat", "p.lon", "g.clat", "g.clon")
+    return f"""
+WITH g AS (SELECT CAST(ui.i * {n} + uj.j AS BIGINT) AS cell,
+                  -90.0 + (ui.i + 0.5) * 180.0 / {n} AS clat,
+                  -180.0 + (uj.j + 0.5) * 360.0 / {n} AS clon
+           FROM unnest(range(0, {n})) AS ui(i),
+                unnest(range(0, {n})) AS uj(j)),
+p AS (SELECT {sql_lat('c_custkey*31+7')} AS lat,
+             {sql_lon('c_custkey*31+7')} AS lon,
+             CAST(round(c_acctbal * 100.0) AS BIGINT) AS v
+      FROM customer),
+m AS (SELECT g.cell,
+             CAST(round(100000000.0 / ({d} + {IDW_SMOOTH_KM})) AS BIGINT)
+                 AS w, p.v
+      FROM g, p WHERE {d} <= {IDW_RADIUS_KM})
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(w * v) AS BIGINT) AS sum_wv,
+       CAST(SUM(w * v) // SUM(w) AS BIGINT) AS idw_cents
+FROM m GROUP BY cell
+"""
+
+
+SQL_IDW_GRID = _sql_idw()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4681,6 +4757,7 @@ def registry():
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
         "zorder_assign": (q_zorder_assign, SQL_ZORDER),
         "focal_sum": (q_focal_sum, SQL_FOCAL_SUM),
+        "idw_grid": (q_idw_grid, SQL_IDW_GRID),
         "vectorize": (q_vectorize, SQL_VECTORIZE),
         "knn_join": (q_knn_join, SQL_KNN_JOIN),
         "knn_radius_filter": (q_knn_radius_filter, SQL_KNN_RADIUS),

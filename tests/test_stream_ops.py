@@ -135,3 +135,28 @@ def test_profile_columns_exact(ray_session):
         assert r["n_rows"] == n
         assert r["n_distinct"] == d
         assert r["n_null"] == (nn or 0)
+
+
+def test_idw_grid_brute(ray_session):
+    from go_osm_search_ray import geo
+    from go_osm_search_ray.pipelines import queries as q
+
+    got = q.q_idw_grid("/root/testdata/sf0.001").set_index("cell")
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    k = cust["c_custkey"].to_numpy(np.int64)
+    lat, lon = geo.point_from_key(k * 31 + 7)
+    v = np.rint(cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    n = 1 << q.IDW_RES
+    for cell in list(got.index)[:12]:
+        i, j = divmod(int(cell), n)
+        clat = -90 + (i + 0.5) * 180 / n
+        clon = -180 + (j + 0.5) * 360 / n
+        d = geo.haversine_km(lat, lon, np.full_like(lat, clat),
+                             np.full_like(lon, clon))
+        m = d <= q.IDW_RADIUS_KM
+        w = np.rint(1e8 / (d[m] + q.IDW_SMOOTH_KM)).astype(np.int64)
+        assert got.loc[cell, "n_obs"] == m.sum()
+        assert got.loc[cell, "sum_w"] == w.sum()
+        assert got.loc[cell, "sum_wv"] == (w * v[m]).sum()
+        assert got.loc[cell, "idw_cents"] == (w * v[m]).sum() // w.sum()
