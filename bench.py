@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     # round-3 session-3 additions
     "late_events", "cdc_upsert", "stay_points", "profile_columns",
     "bpe_encode", "lm_doc_stats", "semantic_dedup", "kmeans_assign",
-    "simhash_pairs", "pack_batches", "pii_scrub",
+    "simhash_pairs", "pack_batches", "pii_scrub", "idw_grid",
 ]
 
 
