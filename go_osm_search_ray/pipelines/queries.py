@@ -4738,6 +4738,32 @@ FROM m GROUP BY cell
 SQL_IDW_GRID = _sql_idw()
 
 
+def q_hash_features(sf_dir: str):
+    """Hashing-trick feature vectors (Weinberger et al. 2009): signed
+    tf bucket counts, no vocabulary state — a pure map stage
+    (text.hash_features).  Long-form all-int output."""
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: text.hash_features(b),
+                     batch_format="pandas")
+
+
+SQL_HASH_FEATURES = f"""
+WITH tf AS (SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents, unnest({TOK}) AS t(term) GROUP BY 1, 2),
+b0 AS (SELECT doc_id, c,
+              (strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)
+                  AS byte0
+       FROM tf),
+f AS (SELECT doc_id, byte0 % 32 AS bucket,
+             CASE WHEN (byte0 // 32) % 2 = 1 THEN c ELSE -c END AS v
+      FROM b0)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(v) AS BIGINT) AS feat
+FROM f GROUP BY 1, 2 HAVING SUM(v) != 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4858,6 +4884,7 @@ def registry():
         "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
         "pack_batches": (q_pack_batches, SQL_PACK_BATCHES),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+        "hash_features": (q_hash_features, SQL_HASH_FEATURES),
         "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
         "search_fulltext": (q_search_fulltext, SQL_SEARCH_FULLTEXT),
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),

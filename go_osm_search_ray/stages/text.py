@@ -767,3 +767,44 @@ def repetition_signals(batch: pd.DataFrame, id_col="doc_id",
                   .groupby(level="d", sort=False).max())
         out.loc[bper.index, "top_bigram_n"] = bper.to_numpy(np.int64)
     return out
+
+
+def hash_features(batch: pd.DataFrame, n_buckets: int = 32,
+                  id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """FEATURE HASHING (the hashing trick, Weinberger et al. 2009):
+    tf-weighted signed bucket counts per document — the fixed-width
+    feature vector a downstream model trains on, with NO vocabulary
+    state (the scale-critical property: nothing to broadcast or
+    shuffle, a pure map stage).  bucket = token_md5 % n_buckets,
+    sign = the next hash bit; md5 runs once per unique token per batch
+    (the simhash64_batch scheme, and the same SQL-mirrorable hash).
+    Emits long form (doc_id, bucket, feat) with zero rows dropped."""
+    import numpy as np
+
+    from .dedup import _hash64
+
+    toks = tokenize_series(batch[text_col])
+    n = len(toks)
+    ids = batch[id_col].to_numpy(np.int64)
+    lens = toks.str.len().to_numpy(np.int64) if n else np.array([], np.int64)
+    if n == 0 or lens.sum() == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "bucket": pd.Series([], dtype=np.int64),
+                             "feat": pd.Series([], dtype=np.int64)})
+    rows = np.repeat(np.arange(n), lens)
+    flat = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
+    tf = pd.DataFrame({"r": rows, "t": flat}) \
+        .groupby(["r", "t"], sort=False).size()
+    rr = tf.index.get_level_values(0).to_numpy()
+    tt = tf.index.get_level_values(1).to_numpy()
+    cc = tf.to_numpy().astype(np.int64)
+    uniq, inv = np.unique(tt, return_inverse=True)
+    hv = np.array([_hash64(t) for t in uniq], dtype=np.uint64)
+    bucket = (hv % np.uint64(n_buckets)).astype(np.int64)[inv]
+    sign = np.where(((hv // np.uint64(n_buckets)) & np.uint64(1)) == 1,
+                    1, -1).astype(np.int64)[inv]
+    acc = np.zeros((n, n_buckets), dtype=np.int64)
+    np.add.at(acc, (rr, bucket), sign * cc)
+    di, bi = np.nonzero(acc)
+    return pd.DataFrame({id_col: ids[di], "bucket": bi.astype(np.int64),
+                         "feat": acc[di, bi]})

@@ -414,3 +414,32 @@ class TestHeavyHitters:
         assert sorted(out["term"]) == sorted(want.index)
         got = dict(zip(out["term"], out["n"]))
         assert all(got[t] == want[t] for t in want.index)
+
+
+class TestHashFeatures:
+    def test_matches_brute(self, ray_session):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from go_osm_search_ray.stages import text as T
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["hash join scan hash", "merge sort merge",
+                     "", "a b c a b a"],
+        })
+        out = T.hash_features(df)
+        # brute per doc
+        for d, txt in zip(df["doc_id"], df["text"]):
+            acc = {}
+            for w in T.tokenize_series(pd.Series([txt]))[0]:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                   "little")
+                b = h % 32
+                s = 1 if (h // 32) % 2 == 1 else -1
+                acc[b] = acc.get(b, 0) + s
+            acc = {b: v for b, v in acc.items() if v != 0}
+            sub = out[out["doc_id"] == d]
+            assert dict(zip(sub["bucket"], sub["feat"])) == acc
