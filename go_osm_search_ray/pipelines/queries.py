@@ -4164,42 +4164,42 @@ def q_profile_columns(sf_dir: str):
     finishing is a bucket-hash shuffle on the value hash (unbounded
     value spaces never meet the driver), counts finish in one tiny
     combine.  All-integer output (oracle design rule)."""
-    from ..stages.agg import two_phase_agg
+    from ..stages.agg import bucketed_group_apply
 
     ds = read_table(sf_dir, "lineitem", columns=PROFILE_COLS)
 
-    # null + row counts: bounded key space (11 columns) -> driver combine
-    def counts_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "col_name": PROFILE_COLS,
-            "n_rows": np.int64(len(b)),
-            "n_null": [np.int64(b[c].isna().sum()) for c in PROFILE_COLS],
-        })
-
-    counts = two_phase_agg(ds, counts_partial, ["col_name"],
-                           ["n_rows", "n_null"], combine="driver")
-
-    # exact distinct: per-block unique (col, hash64(value)) pairs ->
-    # bucket-hash dedup+count (disjoint hash slices sum exactly)
-    def uniq_partial(b: pd.DataFrame) -> pd.DataFrame:
-        frames = []
+    # ONE scan: each block emits its per-column unique value-hashes
+    # (kind 1) AND its row/null counts (kind 0, _h doubles as n_rows)
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({
+            "kind": np.int64(0), "col_name": PROFILE_COLS,
+            "_h": np.int64(len(b)),
+            "n_null": [np.int64(b[c].isna().sum()) for c in PROFILE_COLS]})]
         for c in PROFILE_COLS:
             s = b[c].dropna()
             h = pd.util.hash_pandas_object(
                 s.drop_duplicates(), index=False).to_numpy(np.uint64)
             frames.append(pd.DataFrame({
-                "col_name": c, "_h": np.unique(h)}))
+                "kind": np.int64(1), "col_name": c,
+                "_h": np.unique(h).view(np.int64),
+                "n_null": np.int64(0)}))
         return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    counts = parts.map_batches(
+        lambda b: b[b["kind"] == 0], batch_format="pandas").to_pandas() \
+        .groupby("col_name", sort=True, as_index=False) \
+        .agg(n_rows=("_h", "sum"), n_null=("n_null", "sum"))
 
     def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["col_name", "_h"])
         return d.groupby("col_name", sort=False, as_index=False) \
             .agg(n_distinct=("_h", "size"))
 
-    from ..stages.agg import bucketed_group_apply
     dis = bucketed_group_apply(
-        read_table(sf_dir, "lineitem", columns=PROFILE_COLS)
-        .map_batches(uniq_partial, batch_format="pandas"),
+        parts.map_batches(lambda b: b[b["kind"] == 1][["col_name", "_h"]],
+                          batch_format="pandas"),
         ["col_name", "_h"], distinct_bucket).to_pandas()
     dis = dis.groupby("col_name", sort=False, as_index=False)["n_distinct"] \
         .sum()
