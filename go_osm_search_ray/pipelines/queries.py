@@ -4764,6 +4764,49 @@ FROM f GROUP BY 1, 2 HAVING SUM(v) != 0
 """
 
 
+def q_pricing_cube(sf_dir: str):
+    """OLAP GROUPING SETS (ROLLUP of the pricing dimensions): one
+    partial pass emits every grouping-set level at once — (flag,
+    status), (flag), () — so the cube costs ONE scan + one bounded
+    combine, not one scan per level.  Sentinel '*' marks the rolled-up
+    dimension (mirrored in SQL via GROUPING SETS + COALESCE).
+    Integer-exact: row counts + quantity in centi-units."""
+    from ..stages.agg import two_phase_agg
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q100 = np.rint(b["l_quantity"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        base = pd.DataFrame({"flag": b["l_returnflag"].to_numpy(),
+                             "status": b["l_linestatus"].to_numpy(),
+                             "n": np.int64(1), "qty100": q100})
+        lv0 = base.groupby(["flag", "status"], sort=False,
+                           as_index=False).sum()
+        lv1 = lv0.groupby("flag", sort=False, as_index=False) \
+            [["n", "qty100"]].sum().assign(status="*")
+        lv2 = pd.DataFrame({"flag": ["*"], "status": ["*"],
+                            "n": [lv0["n"].sum()],
+                            "qty100": [lv0["qty100"].sum()]})
+        return pd.concat([lv0, lv1, lv2], ignore_index=True)[
+            ["flag", "status", "n", "qty100"]]
+
+    return two_phase_agg(ds, partial, ["flag", "status"],
+                         ["n", "qty100"], combine="driver")
+
+
+SQL_PRICING_CUBE = """
+SELECT COALESCE(l_returnflag, '*') AS flag,
+       COALESCE(l_linestatus, '*') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+           AS qty100
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4843,6 +4886,7 @@ def registry():
         "ivfpq_search": (q_ivfpq_search, _pq_search_sql()),
         # relational coverage
         "pricing_summary": (q_pricing_summary, SQL_PRICING),
+        "pricing_cube": (q_pricing_cube, SQL_PRICING_CUBE),
         "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
         "top_orders": (q_top_orders, SQL_TOP_ORDERS),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
