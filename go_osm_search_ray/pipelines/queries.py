@@ -4807,6 +4807,93 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+RESAMPLE_STEP = 1000
+
+
+def q_track_resample(sf_dir: str):
+    """TRAJECTORY RESAMPLING: each track's position interpolated at
+    fixed sequence steps (the regularization step before map matching
+    or dwell analysis on irregular GPS streams).  Linear lat/lon
+    interpolation between the bracketing fixes (engine-canonical,
+    mirrored exactly in SQL).  Scale shape: bucket-hash on point_id;
+    inside a bucket ONE vectorized pass — per-track grids built by a
+    cumsum/arange expansion, bracketing fixes by two searchsorted
+    probes over (track, seq)-encoded keys.  No per-track Python."""
+    from ..stages.agg import bucketed_group_apply
+
+    ev = fence_events(sf_dir)
+    step = RESAMPLE_STEP
+
+    def resample_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"point_id": pd.Series([], dtype=str),
+                              "t": pd.Series([], dtype=np.int64),
+                              "lat_i": pd.Series([], dtype=np.float64),
+                              "lon_i": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["point_id", "seq"], kind="mergesort")
+        codes, uniques = pd.factorize(g["point_id"], sort=False)
+        seq = g["seq"].to_numpy(np.int64)
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        tdf = pd.DataFrame({"c": codes, "seq": seq}).groupby("c", sort=True) \
+            .agg(s0=("seq", "min"), s1=("seq", "max"))
+        s0 = tdf["s0"].to_numpy(np.int64)
+        s1 = tdf["s1"].to_numpy(np.int64)
+        t0 = -(-s0 // step) * step  # ceil to the grid
+        n = np.maximum(0, (s1 - t0) // step + 1)
+        n[t0 > s1] = 0
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        track = np.repeat(np.arange(len(n)), n)
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        within = np.arange(total) - np.repeat(starts, n)
+        t = np.repeat(t0, n) + within * step
+        # (track, seq) encoded keys: seq fits far below 2^33
+        keys = codes.astype(np.int64) * (1 << 33) + seq
+        gkeys = track * (1 << 33) + t
+        pi = np.searchsorted(keys, gkeys, side="right") - 1
+        ni = np.searchsorted(keys, gkeys, side="left")
+        ps, ns = seq[pi], seq[ni]
+        frac = np.where(ns == ps, 0.0, (t - ps) / np.where(ns == ps, 1, ns - ps))
+        lat_i = lat[pi] + (lat[ni] - lat[pi]) * frac
+        lon_i = lon[pi] + (lon[ni] - lon[pi]) * frac
+        return pd.DataFrame({
+            "point_id": pd.Categorical.from_codes(
+                track, categories=uniques).astype(str),
+            "t": t, "lat_i": np.round(lat_i, 6),
+            "lon_i": np.round(lon_i, 6)})
+
+    return bucketed_group_apply(ev, ["point_id"], resample_bucket)
+
+
+SQL_TRACK_RESAMPLE = f"""
+WITH ev AS ({SQL_EVENT_POINTS}),
+b AS (SELECT point_id, MIN(seq) AS s0, MAX(seq) AS s1 FROM ev GROUP BY 1),
+g AS (SELECT point_id, u.t AS t
+      FROM b, unnest(range(
+          CAST(ceil(CAST(s0 AS DOUBLE) / {RESAMPLE_STEP}) AS BIGINT)
+              * {RESAMPLE_STEP},
+          s1 + 1, {RESAMPLE_STEP})) AS u(t)),
+pn AS (SELECT g.point_id, g.t,
+              MAX(e.seq) FILTER (e.seq <= g.t) AS ps,
+              MIN(e.seq) FILTER (e.seq >= g.t) AS ns
+       FROM g JOIN ev e ON e.point_id = g.point_id GROUP BY 1, 2)
+SELECT pn.point_id, pn.t,
+       round(a.lat + (bb.lat - a.lat) *
+             (CASE WHEN pn.ns = pn.ps THEN 0.0
+                   ELSE CAST(pn.t - pn.ps AS DOUBLE) / (pn.ns - pn.ps)
+              END), 6) AS lat_i,
+       round(a.lon + (bb.lon - a.lon) *
+             (CASE WHEN pn.ns = pn.ps THEN 0.0
+                   ELSE CAST(pn.t - pn.ps AS DOUBLE) / (pn.ns - pn.ps)
+              END), 6) AS lon_i
+FROM pn JOIN ev a ON a.point_id = pn.point_id AND a.seq = pn.ps
+        JOIN ev bb ON bb.point_id = pn.point_id AND bb.seq = pn.ns
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4835,6 +4922,7 @@ def registry():
         "fence_last_positions": (q_fence_last_positions, SQL_LAST_POSITIONS),
         "track_lengths": (q_track_lengths, SQL_TRACK_LENGTHS),
         "stay_points": (q_stay_points, SQL_STAY_POINTS),
+        "track_resample": (q_track_resample, SQL_TRACK_RESAMPLE),
         # text / search
         "postings_pairs": (q_postings_pairs, SQL_POSTINGS),
         "term_df": (q_term_df, SQL_TERM_DF),

@@ -160,3 +160,26 @@ def test_idw_grid_brute(ray_session):
         assert got.loc[cell, "sum_w"] == w.sum()
         assert got.loc[cell, "sum_wv"] == (w * v[m]).sum()
         assert got.loc[cell, "idw_cents"] == (w * v[m]).sum() // w.sum()
+
+
+def test_track_resample_brute(ray_session):
+    from go_osm_search_ray.pipelines import queries as q
+
+    got = q.q_track_resample("/root/testdata/sf0.001").to_pandas()
+    ev = q.fence_events("/root/testdata/sf0.001").to_pandas()
+    step = q.RESAMPLE_STEP
+    pid = got["point_id"].iloc[0]
+    t = ev[ev["point_id"] == pid].sort_values("seq")
+    s = t["seq"].to_numpy()
+    sub = got[got["point_id"] == pid].sort_values("t")
+    t0 = -(-s.min() // step) * step
+    exp_ts = np.arange(t0, s.max() + 1, step)
+    assert list(sub["t"]) == list(exp_ts)
+    for _, r in sub.iterrows():
+        ps = s[s <= r["t"]].max()
+        ns = s[s >= r["t"]].min()
+        a = t[t["seq"] == ps].iloc[0]
+        b = t[t["seq"] == ns].iloc[0]
+        f = 0.0 if ns == ps else (r["t"] - ps) / (ns - ps)
+        assert abs(r["lat_i"] - (a["lat"] + (b["lat"] - a["lat"]) * f)) < 1e-5
+        assert abs(r["lon_i"] - (a["lon"] + (b["lon"] - a["lon"]) * f)) < 1e-5
