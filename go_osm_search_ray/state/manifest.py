@@ -94,3 +94,76 @@ def remaining_partitions(all_keys, out_dir: str) -> list:
     """Anti-join: partition keys not yet recorded as completed."""
     done = completed_partitions(out_dir)
     return [k for k in all_keys if str(k) not in done]
+
+
+def compact_partitions(out_dir: str, target_rows_per_file: int = 500_000,
+                       min_files: int = 2) -> dict:
+    """SMALL-FILE COMPACTION over a partitioned output: every partition
+    directory holding >= `min_files` parquet files is rewritten as
+    ceil(rows / target_rows_per_file) files.  A real streaming run
+    emits files-per-writer-task x partitions; at production partition
+    sizes that is thousands of small files per directory, and small
+    files dominate read planning at 100 TB.
+
+    Crash-safe per partition: the compacted files land in a temp dir,
+    the swap is a rename pair, and the manifest entry is rewritten
+    last (atomic replace) — a crash mid-compaction leaves either the
+    old or the new file set, both complete.  Each partition compacts
+    as ONE Ray task (partitions are sized to fit a worker by
+    construction; the partition key is the unit of parallelism)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+
+    m = load_manifest(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    col = m["partition_col"]
+
+    @ray.remote
+    def compact_one(d: str, pid: str):
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if len(files) < min_files:
+            return pid, None
+        import pyarrow as pa
+
+        tables = [pq.read_table(f) for f in files]
+        full = pa.concat_tables(tables)
+        n = full.num_rows
+        n_out = max(1, -(-n // target_rows_per_file))
+        tmp = d + ".compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        step = -(-n // n_out)
+        nbytes = 0
+        for i in range(n_out):
+            sl = full.slice(i * step, step)
+            if sl.num_rows == 0:
+                continue
+            f = os.path.join(tmp, f"compacted_{i:05d}.parquet")
+            pq.write_table(sl, f)
+            nbytes += os.path.getsize(f)
+        old = d + ".compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(d, old)
+        os.replace(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+        return pid, {"row_count": n, "bytes": nbytes}
+
+    dirs = sorted(glob.glob(os.path.join(out_dir, f"{col}=*")))
+    results = ray.get([
+        compact_one.remote(d, d.rsplit("=", 1)[1]) for d in dirs
+    ])
+    changed = 0
+    for pid, rec in results:
+        if rec is not None:
+            m["partitions"][pid] = rec
+            changed += 1
+    m["compacted_at"] = time.time()
+    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    m["_compacted_partitions"] = changed
+    return m

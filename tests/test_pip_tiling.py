@@ -339,3 +339,40 @@ class TestRectOverlapJoin:
         assert set(got_map) == set(want)
         for k in want:
             assert abs(got_map[k] - want[k]) < 1e-9
+
+
+def test_compact_partitions_preserves_rows(ray_session):
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from go_osm_search_ray.pipelines import flagship
+    from go_osm_search_ray.state import manifest as M
+
+    out = "/tmp/test_compact_out"
+    shutil.rmtree(out, ignore_errors=True)
+    m0 = flagship.run_flagship_synth(3000, out, seed=42, concurrency=2)
+    col = m0["partition_col"]
+    before = pd.read_parquet(out).sort_values("image_id") \
+        .reset_index(drop=True)
+    files_before = len(glob.glob(os.path.join(out, f"{col}=*", "*.parquet")))
+
+    m1 = M.compact_partitions(out, target_rows_per_file=10_000, min_files=1)
+    files_after = len(glob.glob(os.path.join(out, f"{col}=*", "*.parquet")))
+    after = pd.read_parquet(out).sort_values("image_id") \
+        .reset_index(drop=True)
+
+    # one file per partition now; data identical row for row
+    assert files_after == len(m1["partitions"])
+    assert files_after <= files_before
+    pd.testing.assert_frame_equal(
+        before[sorted(before.columns)], after[sorted(after.columns)])
+    # manifest row counts are now exact and match the data
+    part_sizes = pd.read_parquet(out, columns=["image_id"])
+    assert sum(p["row_count"] for p in m1["partitions"].values()) \
+        == len(part_sizes)
+    # resume still sees every partition as complete
+    assert M.remaining_partitions(
+        [int(k) for k in m1["partitions"]], out) == []
