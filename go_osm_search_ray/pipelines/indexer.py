@@ -187,3 +187,39 @@ class LoadedIndex:
 
         d = pads.dataset(sf_docs_path)
         return d.to_table(filter=pc.field("doc_id").isin(doc_ids)).to_pandas()
+
+
+def merge_postings(old_postings_ds, new_docs_ds, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """INCREMENTAL INDEX UPDATE (the reference's DynamicIndexer role,
+    indexer.go's dynamic segment + merge, batch-columnar form): merge
+    an EXISTING postings artifact with the postings of newly ingested
+    documents — no rebuild of the old corpus.
+
+    Shape: the new docs run the same salted postings build; both list
+    sets union as (term, sub-list) rows and a bucket-hash merge per
+    term explodes + sorted-unique-merges them (re-ingested doc ids
+    dedupe).  Cost is O(new docs + affected old lists), not O(corpus).
+    Returns (term, postings, df); the incremental == batch equality is
+    the driver-oracled contract (index_upsert)."""
+    from ..stages.agg import bucketed_group_apply
+
+    new_lists = text_stage.postings_lists(new_docs_ds, id_col, text_col)
+
+    def as_sub(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"term": b["term"],
+                             "sub": [list(x) for x in b["postings"]]})
+
+    u = old_postings_ds.map_batches(as_sub, batch_format="pandas").union(
+        new_lists.map_batches(as_sub, batch_format="pandas"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.explode("sub")
+        e = e.drop_duplicates(["term", "sub"]) \
+            .sort_values(["term", "sub"], kind="mergesort")
+        out = e.groupby("term", sort=False)["sub"].agg(list).reset_index() \
+            .rename(columns={"sub": "postings"})
+        out["df"] = out["postings"].map(len).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(u, ["term"], merge_bucket)

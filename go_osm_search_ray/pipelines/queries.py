@@ -4894,6 +4894,58 @@ FROM pn JOIN ev a ON a.point_id = pn.point_id AND a.seq = pn.ps
 """
 
 
+def q_index_upsert(sf_dir: str):
+    """INCREMENTAL INDEXING proven equal to a full rebuild: the corpus
+    is split (doc_id % 5 == 0 arrives 'later'), the old 80% is built
+    and WRITTEN as a postings artifact, the artifact is read back and
+    merged with the new 20% (indexer.merge_postings — cost O(new +
+    affected lists)), and the oracle is the one-shot SQL postings over
+    the FULL corpus: incremental == batch, row for row (the
+    dedup_incremental proof pattern; reference DynamicIndexer)."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    def split(new: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["doc_id"].to_numpy(np.int64) % 5 == 0)
+            return b[m if new else ~m]
+
+        return read_table(sf_dir, "documents",
+                          columns=["doc_id", "text"]) \
+            .map_batches(f, batch_format="pandas")
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    art = f"/tmp/graft_upsert_postings_{tag}"
+    shutil.rmtree(art, ignore_errors=True)
+    os.makedirs(art, exist_ok=True)
+    text.postings_lists(split(new=False)).write_parquet(art)
+
+    new_docs = split(new=True)
+    from .indexer import merge_postings
+
+    merged = merge_postings(rd.read_parquet(art), new_docs)
+
+    def stringify(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["postings"] = b["postings"].map(
+            lambda lst: ",".join(str(int(i)) for i in lst))
+        return b[["term", "postings", "df"]]
+
+    return merged.map_batches(stringify, batch_format="pandas")
+
+
+SQL_INDEX_UPSERT = f"""
+SELECT term, array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
+       CAST(COUNT(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT t.term, d.doc_id
+      FROM documents d, unnest({TOK}) AS t(term))
+GROUP BY term
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5018,6 +5070,7 @@ def registry():
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "hash_features": (q_hash_features, SQL_HASH_FEATURES),
         "postings_lists": (q_postings_lists, SQL_POSTINGS_LISTS),
+        "index_upsert": (q_index_upsert, SQL_INDEX_UPSERT),
         "search_fulltext": (q_search_fulltext, SQL_SEARCH_FULLTEXT),
         "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
         "image_decode_stats": (q_image_decode_stats, SQL_IMAGE_DECODE_STATS),

@@ -78,3 +78,26 @@ class TestIndexer:
         docs = pd.read_parquet(f"{SF}/documents.parquet")
         toks = text.tokenize_series(docs["text"])
         assert abs(idx.meta["avg_doc_len"] - toks.str.len().mean()) < 1e-9
+
+
+def test_merge_postings_incremental_equals_batch(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from go_osm_search_ray.pipelines.indexer import merge_postings
+    from go_osm_search_ray.stages import text as T
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [f"alpha beta doc{i} shared token" for i in range(10)],
+    })
+    old = ray.data.from_pandas(df[df.doc_id % 3 != 0]).repartition(2)
+    new = ray.data.from_pandas(df[df.doc_id % 3 == 0]).repartition(2)
+    merged = merge_postings(T.postings_lists(old), new).to_pandas()
+    full = T.postings_lists(ray.data.from_pandas(df)).to_pandas()
+    m = {r["term"]: list(r["postings"]) for _, r in merged.iterrows()}
+    f = {r["term"]: list(r["postings"]) for _, r in full.iterrows()}
+    assert m == f
+    assert (merged.set_index("term")["df"]
+            == merged.set_index("term")["postings"].map(len)).all()
