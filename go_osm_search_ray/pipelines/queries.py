@@ -4946,6 +4946,66 @@ GROUP BY term
 """
 
 
+def q_recon_keys(sf_dir: str):
+    """DATA RECONCILIATION (full-outer key membership): how many
+    customer keys have orders, how many are order-less, and how many
+    order custkeys are dangling — the integrity check every ingest
+    pipeline runs between a dimension and its fact table.  One pass
+    per side collapses to distinct keys tagged with a side bit; a
+    bucket-hash combine ORs the bits per key; the bounded 3-way count
+    finishes driver-side.  No join operator needed — membership is an
+    aggregation over (key, side)."""
+    from ..stages.agg import bucketed_group_apply
+
+    # the dimension side is windowed (c_custkey % 3 != 0) and the fact
+    # side date-restricted (1995 orders) so all three reconciliation
+    # classes actually occur — same derivations in the SQL mirror
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        k = np.unique(k[k % 3 != 0])
+        return pd.DataFrame({"k": k, "side": np.int64(1)})
+
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["o_orderdate"].dt.year == 1995
+        k = np.unique(b.loc[m, "o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({"k": k, "side": np.int64(2)})
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(cust_side, batch_format="pandas")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pandas")
+
+    def or_bits(g: pd.DataFrame) -> pd.DataFrame:
+        # OR of side bits == sum over the key's DISTINCT sides
+        m = g.drop_duplicates(["k", "side"]) \
+            .groupby("k", sort=False, as_index=False)["side"].sum() \
+            .rename(columns={"side": "bits"})
+        vc = m["bits"].value_counts()
+        return pd.DataFrame({"bits": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    res = bucketed_group_apply(cust.union(orders), ["k"], or_bits) \
+        .to_pandas().groupby("bits", sort=True, as_index=False)["n"].sum()
+    names = {1: "customer_only", 2: "orders_only", 3: "both"}
+    res["side"] = res["bits"].map(names)
+    return res[["side", "n"]].sort_values("side").reset_index(drop=True)
+
+
+SQL_RECON_KEYS = """
+WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer
+           WHERE c_custkey % 3 != 0),
+o AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE year(o_orderdate) = 1995),
+j AS (SELECT COALESCE(c.k, o.k) AS k,
+             CASE WHEN c.k IS NULL THEN 'orders_only'
+                  WHEN o.k IS NULL THEN 'customer_only'
+                  ELSE 'both' END AS side
+      FROM c FULL OUTER JOIN o ON c.k = o.k)
+SELECT side, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY side
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5027,6 +5087,7 @@ def registry():
         # relational coverage
         "pricing_summary": (q_pricing_summary, SQL_PRICING),
         "pricing_cube": (q_pricing_cube, SQL_PRICING_CUBE),
+        "recon_keys": (q_recon_keys, SQL_RECON_KEYS),
         "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
         "top_orders": (q_top_orders, SQL_TOP_ORDERS),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
