@@ -90,3 +90,35 @@ def test_simhash_pairs_brute(ray_session):
                 exp.add((min(r[i], r[j]), max(r[i], r[j])))
     assert set(zip(got["id_a"], got["id_b"])) == exp
     assert (got["hamming"] <= 7).all()
+
+
+def test_keyed_prefix_sum_scale_many_keys(ray_session):
+    """100k keys x 10 rows: the bucket-hash + bounded-driver-carry shape
+    must not hit the sorted-groupby group-count cliff."""
+    import time
+
+    import ray
+
+    from go_osm_search_ray.stages.agg import keyed_prefix_sum
+
+    n = 1_000_000
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 100_000, n).astype(np.int64),
+        "seq": np.arange(n, dtype=np.int64),
+        "v": rng.randint(0, 10, n).astype(np.int64),
+    })
+    t0 = time.perf_counter()
+    got = keyed_prefix_sum(ray.data.from_pandas(df).repartition(16),
+                           "k", "seq", "v", range_size=65536).to_pandas()
+    wall = time.perf_counter() - t0
+    assert wall < 120  # the cliff shape was ~25s per 100k groups
+    assert len(got) == n
+    # spot-exact: a few keys against the pandas window
+    exp = df.sort_values(["k", "seq"])
+    exp = exp.assign(pe=exp.groupby("k")["v"].cumsum() - exp["v"])
+    g = got.set_index(["k", "seq"])["prefix_excl"]
+    for k in (0, 1, 99_999):
+        sub = exp[exp["k"] == k]
+        for _, r in sub.head(5).iterrows():
+            assert g.loc[(k, r["seq"])] == r["pe"]
