@@ -59,7 +59,8 @@ BENCH_QUERIES = [
     "late_events", "cdc_upsert", "stay_points", "profile_columns",
     "bpe_encode", "lm_doc_stats", "semantic_dedup", "kmeans_assign",
     "simhash_pairs", "pack_batches", "pii_scrub", "idw_grid",
-    "hash_features", "pricing_cube", "track_resample",
+    "hash_features", "pricing_cube", "track_resample", "recon_keys",
+    "index_upsert",
 ]
 
 
