@@ -1532,7 +1532,7 @@ def q_char_percentiles(sf_dir: str):
     ref = ray.put((vals, below))
 
     def rank(b: pd.DataFrame) -> pd.DataFrame:
-        v, lt = cached_state(f"pctl-{id(ref)}", lambda: ray.get(ref))
+        v, lt = cached_state(f"pctl-{ref.hex()}", lambda: ray.get(ref))
         n_chars = b["text"].str.len().to_numpy(np.int64)
         cum = lt[np.searchsorted(v, n_chars)]
         return pd.DataFrame({
@@ -2310,7 +2310,7 @@ def q_pagerank(sf_dir: str):
     ref = ray.put((ok[order], oc[order]))
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
-        k, c = cached_state(f"pr-omap-{id(ref)}", lambda: ray.get(ref))
+        k, c = cached_state(f"pr-omap-{ref.hex()}", lambda: ray.get(ref))
         cust = c[np.searchsorted(k, b["l_orderkey"].to_numpy(np.int64))]
         cn = cust * 2
         sn = b["l_suppkey"].to_numpy(np.int64) * 2 + 1

@@ -141,7 +141,7 @@ def membership_filter(probe_ds, keys_mat, probe_col: str, key_col: str,
     ref = ray.put(karr)
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
-        ks = cached_state(f"memb-{id(ref)}", lambda: ray.get(ref))
+        ks = cached_state(f"memb-{ref.hex()}", lambda: ray.get(ref))
         if len(b) == 0:
             return b
         if len(ks) == 0:
@@ -322,7 +322,7 @@ def _interval_join_broadcast(points_ds, intervals_mat, ts_col,
     ref = ray.put(iv_df)
 
     def match(b: pd.DataFrame) -> pd.DataFrame:
-        iv = cached_state(f"ivjoin-{id(ref)}", lambda: ray.get(ref))
+        iv = cached_state(f"ivjoin-{ref.hex()}", lambda: ray.get(ref))
         out_cols = list(b.columns) + list(iv.columns)
         if len(b) == 0 or len(iv) == 0:
             return pd.DataFrame({

@@ -245,11 +245,11 @@ def pagerank_int(edges_ds, iterations: int = 3, src_col: str = "src",
                 ref = ray.put(mass_arr)
 
                 def contrib_batch(b, _r=ref, _n=na_ref, _d=dg_ref):
-                    na = cached_state(f"prn-{id(_n)}",
+                    na = cached_state(f"prn-{_n.hex()}",
                                       lambda: ray.get(_n))
-                    dg = cached_state(f"prd-{id(_d)}",
+                    dg = cached_state(f"prd-{_d.hex()}",
                                       lambda: ray.get(_d))
-                    ma = cached_state(f"prm-{id(_r)}",
+                    ma = cached_state(f"prm-{_r.hex()}",
                                       lambda: ray.get(_r))
                     pos = np.searchsorted(na, b[src_col].to_numpy(np.int64))
                     return pd.DataFrame({

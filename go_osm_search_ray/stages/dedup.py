@@ -1090,7 +1090,7 @@ def dup_ngram_coverage(ds, id_col="doc_id", text_col="text",
                        cdf["covered_tokens"].to_numpy(np.int64)))
 
         def attach(b: pd.DataFrame) -> pd.DataFrame:
-            kk, cc = cached_state(f"dngc-{id(ref)}",
+            kk, cc = cached_state(f"dngc-{ref.hex()}",
                                   lambda: ray.get(ref))
             out = np.zeros(len(b), dtype=np.int64)
             if len(kk):

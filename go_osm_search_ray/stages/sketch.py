@@ -242,7 +242,7 @@ def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
     ref = ray.put(bits)
 
     def prefilter(b: pd.DataFrame) -> pd.DataFrame:
-        bm = cached_state(f"bloom-{id(ref)}", lambda: ray.get(ref))
+        bm = cached_state(f"bloom-{ref.hex()}", lambda: ray.get(ref))
         if len(b) == 0:
             return b
         keep = bloom_contains(
@@ -366,7 +366,7 @@ def heavy_hitters(ds, text_col: str = "text", threshold: int = 200,
     cm_ref = ray.put(np.frombuffer(merged, dtype=np.int64).reshape(d, w))
 
     def survivors(b: pd.DataFrame) -> pd.DataFrame:
-        cm = cached_state(f"cm-{id(cm_ref)}", lambda: ray.get(cm_ref))
+        cm = cached_state(f"cm-{cm_ref.hex()}", lambda: ray.get(cm_ref))
         c = batch_counts(b)
         if len(c) == 0:
             return c

@@ -322,7 +322,7 @@ def _rect_overlap_broadcast(a_ds, b_ds, a_id: str, b_id: str):
     ref = ray.put(a_df)
 
     def match(b: pd.DataFrame) -> pd.DataFrame:
-        a = cached_state(f"rectjoin-{id(ref)}", lambda: ray.get(ref))
+        a = cached_state(f"rectjoin-{ref.hex()}", lambda: ray.get(ref))
         empty = pd.DataFrame({a_id: pd.Series([], dtype=np.int64),
                               b_id: pd.Series([], dtype=np.int64),
                               "overlap_deg2": pd.Series([], dtype=np.float64)})
