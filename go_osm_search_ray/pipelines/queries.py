@@ -2929,6 +2929,19 @@ def q_event_type_users_hll(sf_dir: str):
     return approx_count_distinct(ds, ["event_type"], "user_id", p=12)
 
 
+def q_value_quantiles_kll(sf_dir: str):
+    """Approximate per-event-type value quantiles via mergeable KLL
+    sketches (Karnin-Lang-Liberty 2016; stages/sketch.KLL) — the
+    bounded-memory quantile path for CONTINUOUS value domains, where
+    the exact mergeable-integer-histogram plan (grouped_quantiles)
+    cannot apply.  Rows-only by design (approximate); rank error is
+    pytest-bounded against exact quantiles (tests/test_kll.py)."""
+    from ..stages.sketch import grouped_quantiles_sketch
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_sketch(ds, ["event_type"], "value")
+
+
 def q_event_type_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -5109,6 +5122,7 @@ def registry():
         "event_type_users": (q_event_type_users, SQL_EVENT_TYPE_USERS),
         # approximate by construction -> rows-only (reason in docstring)
         "event_type_users_hll": (q_event_type_users_hll, None),
+        "value_quantiles_kll": (q_value_quantiles_kll, None),
         "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
         "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
         "boolean_or": (q_boolean_or, SQL_BOOLEAN_OR),

@@ -379,3 +379,116 @@ def heavy_hitters(ds, text_col: str = "text", threshold: int = 200,
         return b[b["n"] >= threshold]
 
     return totals.map_batches(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin-Lang-Liberty 2016) — the mergeable
+# bounded-memory quantile path when the exact mergeable-histogram plan
+# (agg.quantile_disc_from_histogram) is unaffordable because the value
+# domain is continuous / unbounded.  Deterministic variant: the
+# compaction coin is the per-level compaction counter's parity, so a
+# sketch over the same multiset in the same arrival order reproduces
+# exactly (process-independent; no Python hash or RNG state).
+
+
+class KLL:
+    """Fixed-capacity-per-level compactor hierarchy; level i items
+    carry weight 2^i.  Rank error is O(1/k) of n."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._coin = 0
+
+    def add_many(self, values: np.ndarray) -> "KLL":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += len(v)
+        self._compress()
+        return self
+
+    def _compress(self):
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = np.sort(self.levels[i], kind="mergesort")
+                keep_odd = (self._coin & 1) == 1
+                self._coin += 1
+                promoted = buf[1::2] if keep_odd else buf[0::2]
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self.n += other.n
+        self._coin += other._coin
+        self._compress()
+        return self
+
+    def _weighted(self):
+        vals, wts = [], []
+        for i, buf in enumerate(self.levels):
+            if len(buf):
+                vals.append(buf)
+                wts.append(np.full(len(buf), 1 << i, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        o = np.argsort(v, kind="mergesort")
+        return v[o], w[o]
+
+    def quantile(self, q: float) -> float:
+        v, w = self._weighted()
+        if len(v) == 0:
+            return float("nan")
+        cum = np.cumsum(w)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return float(v[np.searchsorted(cum, target)])
+
+
+def grouped_quantiles_sketch(ds, key_cols: list[str], value_col: str,
+                             qs=(0.5, 0.9, 0.99), k: int = 256):
+    """Per-group approximate quantiles via mergeable KLL sketches:
+    per-block partial sketches (bounded k*log(n) floats each) merge on
+    the driver per group — the bounded-memory shape of
+    approx_count_distinct, for continuous value domains where the
+    exact integer-histogram plan cannot apply.  Rows-only by
+    construction (approximate); accuracy pytest-bounded."""
+    import pickle
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in b.groupby(key_cols, sort=False):
+            sk = KLL(k).add_many(g[value_col].to_numpy(np.float64))
+            row = {c: (key[i] if isinstance(key, tuple) else key)
+                   for i, c in enumerate(key_cols)}
+            row["sk"] = pickle.dumps(sk)
+            out.append(row)
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for key, g in parts.groupby(key_cols, sort=True):
+        merged = None
+        for blob in g["sk"]:
+            sk = pickle.loads(blob)
+            merged = sk if merged is None else merged.merge(sk)
+        row = {c: (key[i] if isinstance(key, tuple) else key)
+               for i, c in enumerate(key_cols)}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = round(merged.quantile(q), 6)
+        row["n"] = int(merged.n)
+        rows.append(row)
+    return pd.DataFrame(rows)
