@@ -196,22 +196,64 @@ def merge_postings(old_postings_ds, new_docs_ds, id_col: str = "doc_id",
     an EXISTING postings artifact with the postings of newly ingested
     documents — no rebuild of the old corpus.
 
-    Shape: the new docs run the same salted postings build; both list
-    sets union as (term, sub-list) rows and a bucket-hash merge per
-    term explodes + sorted-unique-merges them (re-ingested doc ids
-    dedupe).  Cost is O(new docs + affected old lists), not O(corpus).
+    Shape: the new docs run the same salted postings build; the OLD
+    lists first drop every re-ingested doc id (true upsert — stale
+    postings for terms no longer present in a changed document are
+    removed, not just unioned over), then both list sets union as
+    (term, sub-list) rows and a bucket-hash merge per term explodes +
+    sorted-unique-merges them.  The re-ingested id set is the delta
+    batch — the small side by construction — broadcast once via
+    ray.put and probed with a vectorized searchsorted per batch.
+    Cost is O(new docs + affected old lists), not O(corpus).
     Returns (term, postings, df); the incremental == batch equality is
     the driver-oracled contract (index_upsert)."""
+    import ray
+
     from ..stages.agg import bucketed_group_apply
+    from ..stages.knn import cached_state
 
     new_lists = text_stage.postings_lists(new_docs_ds, id_col, text_col)
+
+    # re-ingested doc ids: bounded by the delta batch size
+    id_parts = [b[id_col].to_numpy() for b in new_docs_ds
+                .select_columns([id_col])
+                .iter_batches(batch_format="pandas") if len(b)]
+    new_ids = (np.unique(np.concatenate(id_parts)) if id_parts
+               else np.array([], dtype=np.int64))
+    ids_ref = ray.put(new_ids)
 
     def as_sub(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"term": b["term"],
                              "sub": [list(x) for x in b["postings"]]})
 
-    u = old_postings_ds.map_batches(as_sub, batch_format="pandas").union(
-        new_lists.map_batches(as_sub, batch_format="pandas"))
+    def strip_reingested(b: pd.DataFrame) -> pd.DataFrame:
+        """Remove re-ingested doc ids from old lists (vectorized:
+        flatten all lists in the batch, one searchsorted membership
+        mask, rebuild by per-list offsets)."""
+        if len(b) == 0:
+            return pd.DataFrame({"term": b["term"], "sub": b["sub"]})
+        ids = cached_state(f"upsert-ids-{ids_ref.hex()}",
+                           lambda: ray.get(ids_ref))
+        subs = [np.asarray(x) for x in b["sub"]]
+        lens = np.fromiter((len(s) for s in subs), dtype=np.int64,
+                           count=len(subs))
+        flat = np.concatenate(subs) if lens.sum() else np.array([])
+        if len(ids) and len(flat):
+            pos = np.searchsorted(ids, flat)
+            pos[pos == len(ids)] = 0
+            keep = ids[pos] != flat
+        else:
+            keep = np.ones(len(flat), dtype=bool)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        out_subs = [flat[bounds[i]:bounds[i + 1]][keep[bounds[i]:bounds[i + 1]]]
+                    .tolist() for i in range(len(subs))]
+        o = pd.DataFrame({"term": b["term"].to_numpy(), "sub": out_subs})
+        return o[np.fromiter((len(s) > 0 for s in out_subs), dtype=bool,
+                             count=len(out_subs))]
+
+    u = old_postings_ds.map_batches(as_sub, batch_format="pandas") \
+        .map_batches(strip_reingested, batch_format="pandas").union(
+            new_lists.map_batches(as_sub, batch_format="pandas"))
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         e = g.explode("sub")

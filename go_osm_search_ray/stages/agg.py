@@ -309,10 +309,13 @@ def interval_join(points_ds, intervals_ds, ts_col, t0_col, t1_col,
 def _interval_join_broadcast(points_ds, intervals_mat, ts_col,
                              t0_col, t1_col):
     """Small-interval-side interval join: the interval table rides the
-    object store once (per-worker-process cache), each point batch is
-    matched by one vectorized sweep per interval — m interval-vs-batch
-    mask ops, zero shuffle.  Output schema matches the bucketized
-    path: points' columns + intervals' columns."""
+    object store once (per-worker-process cache).  Each point batch is
+    matched by ONE sorted searchsorted sweep — sort the batch's
+    timestamps once, binary-search every interval's [t0, t1) bounds,
+    and gather the hit ranges vectorized: O(n log n + m log n + hits),
+    no per-interval mask pass, zero shuffle.  Interval-side columns
+    that collide with point-side names get an ``_iv`` suffix (both the
+    hit and the empty schema, so block schemas stay consistent)."""
     import numpy as np
     import ray
 
@@ -323,30 +326,34 @@ def _interval_join_broadcast(points_ds, intervals_mat, ts_col,
 
     def match(b: pd.DataFrame) -> pd.DataFrame:
         iv = cached_state(f"ivjoin-{ref.hex()}", lambda: ray.get(ref))
-        out_cols = list(b.columns) + list(iv.columns)
+        iv_out = [c + "_iv" if c in b.columns else c for c in iv.columns]
+
+        def empty() -> pd.DataFrame:
+            cols = {c: pd.Series([], dtype=b[c].dtype) for c in b.columns}
+            for c, oc in zip(iv.columns, iv_out):
+                cols[oc] = pd.Series([], dtype=iv[c].dtype)
+            return pd.DataFrame(cols)
+
         if len(b) == 0 or len(iv) == 0:
-            return pd.DataFrame({
-                c: pd.Series([], dtype=(b[c].dtype if c in b.columns
-                                        else iv[c].dtype))
-                for c in out_cols})
+            return empty()
         ts = _col_us(b[ts_col])
         t0 = _col_us(iv[t0_col])
         t1 = _col_us(iv[t1_col])
-        p_idx, i_idx = [], []
-        for j in range(len(iv)):
-            hit = np.nonzero((ts >= t0[j]) & (ts < t1[j]))[0]
-            if len(hit):
-                p_idx.append(hit)
-                i_idx.append(np.full(len(hit), j, dtype=np.int64))
-        if not p_idx:
-            return pd.DataFrame({
-                c: pd.Series([], dtype=(b[c].dtype if c in b.columns
-                                        else iv[c].dtype))
-                for c in out_cols})
-        pi = np.concatenate(p_idx)
-        ii = np.concatenate(i_idx)
+        order = np.argsort(ts, kind="stable")
+        tss = ts[order]
+        lo = np.searchsorted(tss, t0, side="left")
+        hi = np.searchsorted(tss, t1, side="left")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty()
+        ii = np.repeat(np.arange(len(iv)), counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                            counts)
+        pi = order[lo[ii] + offs]
         left = b.iloc[pi].reset_index(drop=True)
         right = iv.iloc[ii].reset_index(drop=True)
+        right.columns = iv_out
         return pd.concat([left, right], axis=1)
 
     return points_ds.map_batches(match, batch_format="pandas")
@@ -615,11 +622,15 @@ def keyed_prefix_sum(ds, key: str, seq_col: str, val_col: str,
         first = np.zeros(len(parts), dtype=bool)
         first[0] = True
         first[1:] = k[1:] != k[:-1]
-        base = np.where(first, 0, np.concatenate([[0], cum[:-1]]))
-        # subtract each key's own start-of-key cumulative
-        key_start = np.maximum.accumulate(
-            np.where(first, np.concatenate([[0], cum[:-1]]), 0))
-        excl = np.where(first, 0, base - key_start)
+        cum_prev = np.concatenate([[0], cum[:-1]])
+        # subtract each key's own start-of-key cumulative. Forward-fill
+        # the key-start *row index* (monotone by construction), not the
+        # cumulative value — maximum.accumulate over values is wrong
+        # when val_col can be negative (the running sum can dip below a
+        # previous key's start).
+        start_idx = np.maximum.accumulate(
+            np.where(first, np.arange(len(parts)), 0))
+        excl = np.where(first, 0, cum_prev - cum_prev[start_idx])
         carry = {(kk, int(rr)): int(vv) for kk, rr, vv in
                  zip(k, parts["_range"].to_numpy(np.int64), excl)}
 

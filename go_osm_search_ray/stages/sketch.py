@@ -205,8 +205,9 @@ def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
     in a vectorized map_batches BEFORE any shuffle — at a 0.2% false-
     positive rate the subsequent exact hash join moves only true
     matches + 0.2% noise instead of the whole probe table.  The verify
-    join (inner, on the key) removes the false positives, so the
-    result is EXACT.  keys_ds must be distinct on build_key.
+    join (left_semi, on the key) removes the false positives, so the
+    result is EXACT; duplicate keys on the key side are fine (both
+    paths are true semi-joins: each probe row is emitted at most once).
 
     100-TB shape: probe side streams (never materialized); filter
     state is one bitmap sized to the KEY side (~1.8 GiB per 10^9 keys
@@ -252,12 +253,17 @@ def bloom_semi_join(probe_ds, keys_ds, probe_key: str, build_key: str,
     survivors = probe_ds.map_batches(prefilter, batch_format="pandas")
     n_part = n_partitions or default_join_partitions()
     keys_only = keys_ds.select_columns([build_key])
-    if build_key == probe_key:
-        return join_safe(survivors).join(
-            join_safe(keys_only), "left_semi", n_part, on=(probe_key,))
+    if build_key != probe_key:
+        # explicit map_batches rename: Dataset.rename_columns breaks
+        # on pandas-backed blocks in this Ray version
+        keys_only = keys_only.map_batches(
+            lambda b: b.rename(columns={build_key: probe_key}),
+            batch_format="pandas")
+    # left_semi regardless of key names: each probe row is emitted at
+    # most once even when keys_ds has duplicate keys — identical
+    # semantics to the broadcast membership_filter path above.
     return join_safe(survivors).join(
-        join_safe(keys_only), "inner", n_part,
-        on=(probe_key,), right_on=(build_key,))
+        join_safe(keys_only), "left_semi", n_part, on=(probe_key,))
 
 
 # ---------------------------------------------------------------------------

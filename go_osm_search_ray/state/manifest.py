@@ -96,6 +96,27 @@ def remaining_partitions(all_keys, out_dir: str) -> list:
     return [k for k in all_keys if str(k) not in done]
 
 
+def _recover_compaction(out_dir: str, col: str) -> int:
+    """Heal a crash mid-compaction: for every parked
+    ``.compact_old.<col>=X`` whose live dir is missing, restore the old
+    (complete) file set; drop stale ``.compact_tmp.*`` / leftover
+    ``.compact_old.*`` either way.  Returns #partitions restored."""
+    import shutil
+
+    restored = 0
+    for old in glob.glob(os.path.join(out_dir, f".compact_old.{col}=*")):
+        live = os.path.join(out_dir,
+                            os.path.basename(old)[len(".compact_old."):])
+        if not os.path.exists(live):
+            os.replace(old, live)
+            restored += 1
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+    for tmp in glob.glob(os.path.join(out_dir, f".compact_tmp.{col}=*")):
+        shutil.rmtree(tmp, ignore_errors=True)
+    return restored
+
+
 def compact_partitions(out_dir: str, target_rows_per_file: int = 500_000,
                        min_files: int = 2) -> dict:
     """SMALL-FILE COMPACTION over a partitioned output: every partition
@@ -105,12 +126,17 @@ def compact_partitions(out_dir: str, target_rows_per_file: int = 500_000,
     sizes that is thousands of small files per directory, and small
     files dominate read planning at 100 TB.
 
-    Crash-safe per partition: the compacted files land in a temp dir,
-    the swap is a rename pair, and the manifest entry is rewritten
-    last (atomic replace) — a crash mid-compaction leaves either the
-    old or the new file set, both complete.  Each partition compacts
-    as ONE Ray task (partitions are sized to fit a worker by
-    construction; the partition key is the unit of parallelism)."""
+    Crash-safe per partition: the compacted files land in a DOT-named
+    temp dir (``.compact_tmp.<part>``) that hive-style discovery and
+    the ``col=*`` partition glob can never match; the swap is a rename
+    pair through ``.compact_old.<part>``; and the manifest entry is
+    rewritten last (atomic replace).  A crash between the two renames
+    leaves the live dir missing and the complete old set parked under
+    the dot name — `_recover_compaction` (run on entry) restores it,
+    so a crashed run never exposes phantom or duplicate partitions.
+    Each partition compacts as ONE Ray task (partitions are sized to
+    fit a worker by construction; the partition key is the unit of
+    parallelism)."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -120,6 +146,7 @@ def compact_partitions(out_dir: str, target_rows_per_file: int = 500_000,
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     col = m["partition_col"]
+    _recover_compaction(out_dir, col)
 
     @ray.remote
     def compact_one(d: str, pid: str):
@@ -132,7 +159,8 @@ def compact_partitions(out_dir: str, target_rows_per_file: int = 500_000,
         full = pa.concat_tables(tables)
         n = full.num_rows
         n_out = max(1, -(-n // target_rows_per_file))
-        tmp = d + ".compact_tmp"
+        base, leaf = os.path.split(d)
+        tmp = os.path.join(base, f".compact_tmp.{leaf}")
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         step = -(-n // n_out)
@@ -144,7 +172,7 @@ def compact_partitions(out_dir: str, target_rows_per_file: int = 500_000,
             f = os.path.join(tmp, f"compacted_{i:05d}.parquet")
             pq.write_table(sl, f)
             nbytes += os.path.getsize(f)
-        old = d + ".compact_old"
+        old = os.path.join(base, f".compact_old.{leaf}")
         shutil.rmtree(old, ignore_errors=True)
         os.replace(d, old)
         os.replace(tmp, d)
