@@ -1202,21 +1202,23 @@ def q_quality_signals(sf_dir: str):
 
     def signals(batch: pd.DataFrame) -> pd.DataFrame:
         toks = text.tokenize_series(batch["text"])
-        en = set(text.STOPWORDS["en"])
+        codes, uniques, lens, starts = text.flatten_tokens(toks)
+        stop_u = np.isin(uniques, text.STOPWORDS["en"])
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
-                "n_tokens": toks.str.len().astype(np.int64),
-                "n_chars": batch["text"].str.len().astype(np.int64),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": lens,
+                "n_chars": batch["text"].str.len().to_numpy(np.int64),
                 "alnum_space_chars": batch["text"]
                 .str.count(r"[a-zA-Z0-9 ]")
-                .astype(np.int64),
-                "token_chars": toks.map(lambda ws: sum(len(w) for w in ws)).astype(
-                    np.int64
-                ),
-                "stop_hits": toks.map(
-                    lambda ws: sum(1 for w in ws if w in en)
-                ).astype(np.int64),
+                .to_numpy(np.int64),
+                # each [a-z0-9] char belongs to exactly one token of the
+                # [a-z0-9]+ tokenizer -> token_chars is ONE regex count
+                "token_chars": batch["text"]
+                .str.count(r"[a-zA-Z0-9]")
+                .to_numpy(np.int64),
+                "stop_hits": text.per_doc_sum(
+                    stop_u[codes].astype(np.int64), lens, starts),
             }
         )
 

@@ -1,0 +1,123 @@
+"""Round-4 ask #1: the corpus-gate token statistics must be
+vectorized (flatten-factorize-reduceat), not per-document Python
+lambdas.  Equivalence + a 10^6-doc timing bound vs the lambda path."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from go_osm_search_ray.stages import text
+
+
+def _lambda_quality(batch: pd.DataFrame) -> pd.DataFrame:
+    """The pre-round-4 per-row reference implementation."""
+    t = batch["text"]
+    toks = text.tokenize_series(t)
+    n_tokens = toks.str.len().astype(np.int64)
+    n_chars = t.str.len().astype(np.int64)
+    alnum_space = t.str.count(r"[a-zA-Z0-9 ]").astype(np.int64)
+    en = set(text.STOPWORDS["en"])
+    stop_hits = toks.map(lambda ws: sum(1 for w in ws if w in en)) \
+        .astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "punct_ratio": np.round(1.0 - alnum_space / n_chars.clip(lower=1), 6),
+        "stopword_ratio": np.round(
+            stop_hits / n_tokens.clip(lower=1).astype(np.float64), 6),
+        "mean_token_len": np.round(
+            toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
+                     if ws else 0.0), 6),
+    })
+
+
+def _lambda_lang(batch: pd.DataFrame) -> pd.DataFrame:
+    toks = text.tokenize_series(batch["text"])
+    langs = sorted(text.STOPWORDS)
+    sets = {l: set(text.STOPWORDS[l]) for l in langs}
+    preds = []
+    for ws in toks:
+        hits = [(sum(1 for w in ws if w in sets[l]), l) for l in langs]
+        best = max(hits, key=lambda p: (p[0], [-ord(c) for c in p[1]]))
+        preds.append(best[1] if best[0] > 0 else "unknown")
+    return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": preds})
+
+
+def _corpus(n_docs: int, seed: int = 5) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    vocab = np.array(
+        sum((text.STOPWORDS[l] for l in sorted(text.STOPWORDS)), [])
+        + [f"w{i}" for i in range(200)] + ["", "..!?"], dtype=object)
+    lens = rng.randint(0, 12, n_docs)
+    flat = vocab[rng.randint(0, len(vocab), int(lens.sum()))]
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(flat[bounds[i]:bounds[i + 1]])
+             for i in range(n_docs)]
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                         "text": texts})
+
+
+def test_quality_and_lang_match_lambda_path():
+    batch = _corpus(4000)
+    batch.loc[0, "text"] = ""          # empty doc
+    batch.loc[1, "text"] = "?!  .."    # punct only, zero tokens
+    got_q = text.quality_metrics(batch)
+    exp_q = _lambda_quality(batch)
+    pd.testing.assert_frame_equal(got_q.reset_index(drop=True),
+                                  exp_q.reset_index(drop=True))
+    got_l = text.lang_id(batch)
+    exp_l = _lambda_lang(batch)
+    pd.testing.assert_frame_equal(got_l.reset_index(drop=True),
+                                  exp_l.reset_index(drop=True))
+
+
+def test_quality_vectorized_speedup_1m_docs():
+    """10^6 docs: the token-statistic kernels (stopword hits + mean
+    token length — the code the round-3 verdict flagged as per-row
+    Python) must be >=5x the lambda path.  Both paths tokenize the
+    same way, so the tokenizer is excluded from the measurement — the
+    comparison is the replaced per-doc statistics only."""
+    batch = _corpus(1_000_000)
+    toks = text.tokenize_series(batch["text"])
+    en = set(text.STOPWORDS["en"])
+
+    t0 = time.perf_counter()
+    codes, uniques, lens, starts = text.flatten_tokens(toks)
+    stop_u = np.isin(uniques, text.STOPWORDS["en"])
+    stop_v = text.per_doc_sum(stop_u[codes].astype(np.int64), lens, starts)
+    ulen = np.fromiter((len(w) for w in uniques), dtype=np.int64,
+                       count=len(uniques))
+    tc = text.per_doc_sum(ulen[codes], lens, starts)
+    mean_v = tc / np.maximum(lens, 1)
+    fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stop_l = toks.map(lambda ws: sum(1 for w in ws if w in en)) \
+        .astype(np.int64)
+    mean_l = toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
+                      if ws else 0.0)
+    slow = time.perf_counter() - t0
+
+    assert (stop_l.to_numpy() == stop_v).all()
+    nz = lens > 0
+    assert np.allclose(mean_l.to_numpy()[nz], mean_v[nz])
+    assert fast * 5 <= slow, (
+        f"vectorized {fast:.2f}s vs lambda {slow:.2f}s — < 5x")
+
+
+def test_quality_metrics_end_to_end_faster_1m_docs():
+    """Whole-function guard: quality_metrics end to end (tokenize
+    included) must still beat the full lambda path at 10^6 docs."""
+    batch = _corpus(1_000_000)
+    t0 = time.perf_counter()
+    got = text.quality_metrics(batch)
+    fast = time.perf_counter() - t0
+    assert len(got) == len(batch)
+    sl = batch.iloc[:200_000]
+    t0 = time.perf_counter()
+    _lambda_quality(sl)
+    slow = (time.perf_counter() - t0) * 5
+    assert fast < slow, f"end-to-end {fast:.2f}s vs lambda(est) {slow:.2f}s"
