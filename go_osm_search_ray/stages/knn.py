@@ -382,28 +382,26 @@ def knn_cell_join(points_ds, queries_ds, radius_km: float | None, k: int,
             qs["q_lat"].to_numpy()[:, None], qs["q_lon"].to_numpy()[:, None],
             ps["lat"].to_numpy()[None, :], ps["lon"].to_numpy()[None, :],
         )
-        out_q, out_p, out_d, out_la, out_lo = [], [], [], [], []
         pid = ps[point_id_col].to_numpy()
-        for i in range(len(qs)):
-            if radius_km is not None:
-                idx = np.nonzero(d[i] <= radius_km)[0]
-            else:
-                idx = np.arange(d.shape[1])
-            keep = min(k, len(idx))
-            if keep == 0:
-                continue
-            # exact (dist, point_id) tie-break at the cut
-            top = idx[np.lexsort((pid[idx], d[i][idx]))[:keep]]
-            out_q.extend([qs["query_id"].iloc[i]] * len(top))
-            out_p.extend(pid[top].tolist())
-            out_d.extend(d[i][top].tolist())
-            if with_meta:
-                out_la.extend([qs["q_lat"].iloc[i]] * len(top))
-                out_lo.extend([qs["q_lon"].iloc[i]] * len(top))
-        out = {"query_id": out_q, point_id_col: out_p, "dist_km": out_d}
+        # exact (dist, point_id) tie-break at the cut, fully
+        # vectorized: out-of-radius cells masked to +inf, one
+        # topk_cols_exact over the whole matrix (argpartition fast
+        # path; only boundary-tied rows lexsort), then the masked
+        # selections filter out.  No per-query Python — a hot cell
+        # with 10^5 queries is one matrix pass.
+        if radius_km is not None:
+            d = np.where(d <= radius_km, d, np.inf)
+        cols = topk_cols_exact(d, k, sec=np.broadcast_to(pid, d.shape))
+        vals = np.take_along_axis(d, cols, axis=1)
+        valid = np.isfinite(vals).ravel()
+        rows = np.repeat(np.arange(d.shape[0]), cols.shape[1])[valid]
+        sel = cols.ravel()[valid]
+        out = {"query_id": qs["query_id"].to_numpy()[rows],
+               point_id_col: pid[sel],
+               "dist_km": vals.ravel()[valid]}
         if with_meta:
-            out["q_lat"] = out_la
-            out["q_lon"] = out_lo
+            out["q_lat"] = qs["q_lat"].to_numpy()[rows]
+            out["q_lon"] = qs["q_lon"].to_numpy()[rows]
         return pd.DataFrame(out)
 
     partials = (

@@ -839,3 +839,61 @@ class TestKnnCellScale:
             assert [p for p, _ in got_rows] == [p for p, _ in want], qid
             np.testing.assert_allclose([x for _, x in got_rows],
                                        [x for _, x in want], atol=1e-9)
+
+    def test_hot_cell_100k_queries_one_cell(self):
+        """Round-4 ask #2: 10^5 queries landing in ONE grid cell — the
+        local_topk tie-break must be one vectorized matrix pass, not a
+        per-query Python loop.  Bounded wall + spot-exact vs brute
+        force (including (dist, point_id) ties from duplicated points)."""
+        import time
+
+        import ray.data as rd
+
+        from go_osm_search_ray import geo
+
+        rng = np.random.default_rng(17)
+        n_p, n_q = 1500, 100_000
+        # everything inside a ~0.5-degree box -> one res-5 cell (plus
+        # its salt shards); duplicate coords force exact tie-breaks
+        p_lat = rng.uniform(10.0, 10.4, n_p)
+        p_lon = rng.uniform(20.0, 20.4, n_p)
+        p_lat[:300] = p_lat[0]
+        p_lon[:300] = p_lon[0]
+        points = pa.table({
+            "point_id": pa.array(rng.permutation(n_p).astype(np.int64)),
+            "lat": pa.array(p_lat), "lon": pa.array(p_lon),
+        })
+        q_lat = rng.uniform(10.0, 10.4, n_q)
+        q_lon = rng.uniform(20.0, 20.4, n_q)
+        queries = pa.table({
+            "query_id": pa.array(np.arange(n_q), pa.int64()),
+            "lat": pa.array(q_lat), "lon": pa.array(q_lon),
+            "k": pa.array(np.full(n_q, 5), pa.int64()),
+            "radius_km": pa.array(np.full(n_q, 30.0)),
+        })
+        t0 = time.perf_counter()
+        got = (
+            knn.knn_cell_join(
+                rd.from_arrow(points).repartition(4),
+                rd.from_arrow(queries).repartition(8),
+                radius_km=30.0, k=5, res=5, n_salt=4,
+            ).to_pandas()
+        )
+        wall = time.perf_counter() - t0
+        assert wall < 120, f"hot cell took {wall:.1f}s"
+        p_id = points["point_id"].to_numpy()
+        by_q = {qid: g for qid, g in got.groupby("query_id")}
+        for qid in rng.choice(n_q, 20, replace=False):
+            d = geo.haversine_km(
+                np.full(n_p, q_lat[qid]), np.full(n_p, q_lon[qid]),
+                p_lat, p_lon)
+            order = np.lexsort((p_id, d))
+            want = [(int(p_id[i]), d[i]) for i in order
+                    if d[i] <= 30.0][:5]
+            g = by_q.get(qid)
+            got_rows = ([] if g is None else
+                        list(zip(g.sort_values("rank")["point_id"],
+                                 g.sort_values("rank")["dist_km"])))
+            assert [p for p, _ in got_rows] == [p for p, _ in want], qid
+            np.testing.assert_allclose([x for _, x in got_rows],
+                                       [x for _, x in want], atol=1e-9)
