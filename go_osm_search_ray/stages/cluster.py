@@ -224,19 +224,24 @@ def pagerank_int(edges_ds, iterations: int = 3, src_col: str = "src",
         # membership_filter states); the keyed-join path below never
         # holds either on the driver
         e_mat = edges_ds.materialize()
-        node_chunks, deg_acc = [], {}
+        node_chunks, deg_u, deg_c = [], [], []
         for b in e_mat.iter_batches(batch_format="pandas"):
             sv = b[src_col].to_numpy(np.int64)
             node_chunks.append(pd.unique(np.concatenate(
                 [sv, b[dst_col].to_numpy(np.int64)])))
             u, c = np.unique(sv, return_counts=True)
-            for uu, cc in zip(u.tolist(), c.tolist()):
-                deg_acc[uu] = deg_acc.get(uu, 0) + cc
+            deg_u.append(u)
+            deg_c.append(c)
         nodes_arr = np.unique(np.concatenate(
             node_chunks or [np.array([], dtype=np.int64)]))
         if len(nodes_arr) <= broadcast_max:
-            deg_arr = np.array([deg_acc.get(int(v), 0)
-                                for v in nodes_arr], dtype=np.int64)
+            # vectorized merge of the per-batch (unique src, count)
+            # partials — no per-node Python dict loop on the driver
+            deg_arr = np.zeros(len(nodes_arr), dtype=np.int64)
+            if deg_u:
+                du = np.concatenate(deg_u)
+                dc = np.concatenate(deg_c).astype(np.int64)
+                np.add.at(deg_arr, np.searchsorted(nodes_arr, du), dc)
             mass_arr = np.full(len(nodes_arr), np.int64(init))
             dn, dd = np.int64(damp_num), np.int64(damp_den)
             na_ref = ray.put(nodes_arr)

@@ -154,3 +154,42 @@ class TestPagerankInt:
         assert len(got) == len(nodes)
         for v in nodes:
             assert got[v] == m[v], v
+
+    def test_keyed_path_1m_edges(self):
+        """Round-4 ask #3: 10^6 edges through the KEYED path
+        (broadcast_max=0 — no driver node/degree state at all),
+        verified against a vectorized single-machine reference."""
+        import time
+
+        import ray.data as rd
+
+        from go_osm_search_ray.stages.cluster import pagerank_int
+
+        rng = np.random.default_rng(23)
+        n_nodes, n_edges = 200_000, 1_000_000
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        keep = a != b
+        e = pd.DataFrame({"src": a[keep], "dst": b[keep]}) \
+            .drop_duplicates().astype(np.int64)
+        t0 = time.perf_counter()
+        got = pagerank_int(rd.from_pandas(e).repartition(16),
+                           iterations=2, broadcast_max=0) \
+            .to_pandas().set_index("node")["mass"].sort_index()
+        wall = time.perf_counter() - t0
+        assert wall < 300, f"keyed pagerank took {wall:.1f}s"
+
+        # vectorized reference: dense arrays indexed by node id
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        nodes = np.unique(np.concatenate([src, dst]))
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(deg, src, 1)
+        m = np.full(n_nodes, 1_000_000, dtype=np.int64)
+        for _ in range(2):
+            contrib = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(contrib, dst, (m[src] * 85) // (100 * deg[src]))
+            m = 150_000 + contrib
+        want = pd.Series(m[nodes], index=nodes)
+        assert len(got) == len(nodes)
+        assert (got.to_numpy() == want.to_numpy()).all()
