@@ -4435,26 +4435,18 @@ WHERE asg.vec_id NOT IN (SELECT node FROM roots WHERE root < node)
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs at distinct-signature granularity (the
-    phash_near_pairs shape over TEXT): collapse exact-signature
-    clusters first, then banded LSH (8 bands of 8 bits — exact for
-    hamming <= 7 by pigeonhole) + XOR-popcount verify
-    (dedup.hamming_dup_pairs).  All-int output
+    phash_near_pairs shape over TEXT): banded LSH (8 bands of 8 bits —
+    exact for hamming <= 7 by pigeonhole) + XOR-popcount verify, with
+    the exact-signature collapse FUSED into the band shuffle and pair
+    dedup replaced by first-agreeing-band emission — ONE shuffle total
+    (round-4 fuse; was three).  All-int output
     (id_a, id_b, hamming, n_a, n_b)."""
-    from ..stages.agg import bucketed_group_apply
-
     sigs = dedup.simhash_signatures(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]))
-
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby("simhash", sort=False)
-                 .agg(rep_id=("doc_id", "min"), n_docs=("doc_id", "size"))
-                 .reset_index())
-
-    reps = bucketed_group_apply(sigs, ["simhash"], collapse, n_buckets=32)
-    pairs = dedup.hamming_dup_pairs(reps, id_col="rep_id",
+    pairs = dedup.hamming_dup_pairs(sigs, id_col="doc_id",
                                     sig_col="simhash", max_hamming=7,
-                                    n_bands=8, carry_cols=["n_docs"],
-                                    max_bucket=None)
+                                    n_bands=8, max_bucket=None,
+                                    collapse_count_col="n_docs")
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.rename(columns={"n_docs_a": "n_a", "n_docs_b": "n_b"})

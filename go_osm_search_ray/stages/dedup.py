@@ -626,7 +626,8 @@ def simhash_signatures(ds, id_col="doc_id", text_col="text"):
 
 def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
                       max_hamming: int = 3, n_bands: int | None = None,
-                      max_bucket: int | None = 4096, carry_cols=()):
+                      max_bucket: int | None = 4096, carry_cols=(),
+                      collapse_count_col: str | None = None):
     """Near-dup pairs on ANY int64 signature column (SimHash, image
     aHash/pHash, ...) via LSH band blocking: split the 64 bits into
     `n_bands` contiguous bands; any identical band -> candidate pair;
@@ -646,11 +647,28 @@ def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
     batch-wide XOR-popcount — no per-group Python loop.  `carry_cols`
     ride along into the output as <col>_a / <col>_b.
 
+    ONE shuffle total (round-4 fuse): a pair found in band b is
+    emitted only if b is its FIRST agreeing band (vectorized mask over
+    the pair's XOR — every agreeing band sees the same two rows, so
+    exactly one band wins), which removes the old (id_a, id_b) dedup
+    shuffle entirely.  With a binding `max_bucket` the rule becomes
+    "emitted iff the first agreeing band's group is under the cap"
+    (previously: any uncapped band) — both are approximations only in
+    capped groups; the uncapped semantics are identical and exact.
+
+    `collapse_count_col`: fuse the distinct-signature collapse into
+    the SAME shuffle — identical signatures agree in every band, so
+    all rows of a signature co-locate in each (band, bucket) group and
+    a per-group collapse (id = min id, count = group size) is globally
+    correct per band.  The count rides the output as <col>_a/_b.
+
     Returns (id_a, id_b, hamming, *carry_a/_b), each pair once."""
     if n_bands is None:
         n_bands = max_hamming + 1
     edges = np.linspace(0, 64, n_bands + 1).astype(np.int64)
     starts, widths = edges[:-1], np.diff(edges)
+    masks = [np.uint64(((1 << int(w)) - 1) << int(st))
+             for st, w in zip(starts, widths)]
     carry = list(carry_cols)
     keep_cols = [id_col, sig_col] + carry
 
@@ -669,13 +687,22 @@ def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
             out[c] = np.tile(batch[c].to_numpy(), n_bands)
         return pd.DataFrame(out)
 
+    out_carry = carry + ([collapse_count_col] if collapse_count_col else [])
     out_cols = (["id_a", "id_b", "hamming"]
-                + [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry])
+                + [f"{c}_a" for c in out_carry]
+                + [f"{c}_b" for c in out_carry])
 
     def pairs_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        """All (band, bucket) groups in this hash bucket at once: cap
-        hot groups, self-merge on the group key (C-level hash join),
-        then one batch-wide XOR + unpackbits popcount."""
+        """All (band, bucket) groups in this hash bucket at once:
+        optional per-group signature collapse, cap hot groups,
+        self-merge on the group key (C-level hash join), one
+        batch-wide XOR + unpackbits popcount, first-agreeing-band
+        filter — each surviving pair leaves exactly one group."""
+        if collapse_count_col:
+            g = (g.groupby(["band", "bucket", sig_col], sort=False)
+                  .agg(**{id_col: (id_col, "min"),
+                          collapse_count_col: (id_col, "size")})
+                  .reset_index())
         both = g.merge(g.iloc[:0], on=["band", "bucket"],
                        suffixes=("_a", "_b"))
         empty = both.assign(hamming=pd.Series([], dtype=np.int64)) \
@@ -697,7 +724,11 @@ def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
                ^ m[f"{sig_col}_b"].to_numpy().view(np.uint64))
         ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1) \
                 .sum(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
+        # first agreeing band: the smallest j with a zero band-XOR
+        first = np.full(len(m), n_bands, dtype=np.int64)
+        for j in range(n_bands - 1, -1, -1):
+            first = np.where((xor & masks[j]) == np.uint64(0), j, first)
+        keep = (ham <= max_hamming) & (first == m["band"].to_numpy())
         m = m.loc[keep].rename(columns={f"{id_col}_a": "id_a",
                                         f"{id_col}_b": "id_b"})
         m["hamming"] = ham[keep]
@@ -705,12 +736,9 @@ def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
 
     from .agg import bucketed_group_apply
 
-    cand = bucketed_group_apply(
+    return bucketed_group_apply(
         ds.map_batches(band_rows, batch_format="pandas"),
         ["band", "bucket"], pairs_hash_bucket,
-    )
-    return bucketed_group_apply(
-        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
     )
 
 

@@ -666,64 +666,68 @@ def semantic_dedup(ds, centroids: np.ndarray, threshold: float = 0.4,
     within a cluster, connect the >= threshold pairs, and keep one
     representative (min id) per component plus every un-paired row.
 
-    Scale shape: the cluster assignment is the IVF partition key
-    (ivf_assign, task mode), pair compute is bucket-hashed on the
-    cluster id — each bucket runs one triangular matmul PER CLUSTER it
-    holds, so the quadratic cost is bounded by the largest cluster
-    (that is the SemDeDup bargain: k controls the blow-up, k ~ sqrt(n)
-    at corpus scale), the component resolution is the distributed
-    cc_labels loop, and the keep set is a hash anti-join — no stage
-    ever materializes the corpus on the driver.
+    Scale shape (round-4 fuse — ONE shuffle total): the cluster
+    assignment is the IVF partition key (ivf_assign, task mode); the
+    bucket-hash shuffle on cluster id co-locates each whole cluster,
+    and because pairs exist only WITHIN a cluster, a connected
+    component can never span clusters — so the same group that runs
+    the triangular cosine matmul also resolves its components locally
+    (vectorized min-label propagation + pointer jumping over local
+    indices) and emits the kept set directly.  The old plan's
+    distributed cc_labels rounds and the drop anti-join (3-4
+    sequential shuffles of fixed ~1.2 s tail each) are structurally
+    unnecessary here; cc_labels remains the tool for pair graphs
+    WITHOUT this locality (near_dedup_keep's minhash pairs).
+    Quadratic cost is bounded by the largest cluster (the SemDeDup
+    bargain: k controls the blow-up, k ~ sqrt(n) at corpus scale); no
+    stage ever materializes the corpus on the driver.
 
     Returns a Dataset of kept (id_col, cluster)."""
-    from .dedup import cc_labels
-    from .agg import bucketed_group_apply, default_join_partitions, \
-        ensure_schema, join_safe
+    from .agg import bucketed_group_apply
 
-    assigned = ivf_assign(ds, centroids, id_col).materialize()
+    assigned = ivf_assign(ds, centroids, id_col)
 
-    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, grp in g.groupby("ivf_bucket", sort=False):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values(id_col, kind="mergesort")
-            m = np.asarray(grp["embedding"].tolist(), dtype=np.float64)
-            dots = m @ m.T
-            nrm = np.sqrt((m * m).sum(axis=1))
-            ii, jj = np.triu_indices(len(grp), 1)
-            cos = dots[ii, jj] / (nrm[ii] * nrm[jj])
-            hit = cos >= threshold
-            ids = grp[id_col].to_numpy(np.int64)
-            frames.append(pd.DataFrame({"id_a": ids[ii[hit]],
-                                        "id_b": ids[jj[hit]]}))
-        if not frames:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
-        return pd.concat(frames, ignore_index=True)
+    def kept_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_cl = [], []
+        for cl, grp in g.groupby("ivf_bucket", sort=False):
+            ids = np.sort(grp[id_col].to_numpy(np.int64))
+            n = len(grp)
+            if n >= 2:
+                grp = grp.sort_values(id_col, kind="mergesort")
+                m = np.asarray(grp["embedding"].tolist(), dtype=np.float64)
+                dots = m @ m.T
+                nrm = np.sqrt((m * m).sum(axis=1))
+                ii, jj = np.triu_indices(n, 1)
+                hit = dots[ii, jj] / (nrm[ii] * nrm[jj]) >= threshold
+                ii, jj = ii[hit], jj[hit]
+                if len(ii):
+                    # local CC: min-label propagation over local
+                    # indices (sorted by id, so min index == min id)
+                    lab = np.arange(n, dtype=np.int64)
+                    while True:
+                        old = lab
+                        lab = lab.copy()
+                        e = np.minimum(lab[ii], lab[jj])
+                        np.minimum.at(lab, ii, e)
+                        np.minimum.at(lab, jj, e)
+                        while True:  # pointer jumping to fixpoint
+                            nl = lab[lab]
+                            if np.array_equal(nl, lab):
+                                break
+                            lab = nl
+                        if np.array_equal(lab, old):
+                            break
+                    ids = ids[lab == np.arange(n)]
+            out_ids.append(ids)
+            out_cl.append(np.full(len(ids), cl, dtype=np.int64))
+        if not out_ids:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "cluster": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({id_col: np.concatenate(out_ids),
+                             "cluster": np.concatenate(out_cl)})
 
-    pairs = bucketed_group_apply(assigned, ["ivf_bucket"], pairs_bucket,
-                                 n_buckets=n_buckets)
-    labels = cc_labels(pairs)
-    n_part = default_join_partitions()
-
-    def drops(b: pd.DataFrame) -> pd.DataFrame:
-        d = b[b["label"] != b["node"]]
-        return pd.DataFrame({id_col: d["node"].to_numpy(np.int64)})
-
-    drop = ensure_schema(
-        join_safe(labels.map_batches(drops, batch_format="pandas"), n_part),
-        {id_col: np.int64}).materialize()
-    slim = assigned.select_columns([id_col, "ivf_bucket"])
-    if drop.count() == 0:
-        # this Ray's hash join cannot take a zero-row right side
-        # (schema-less aggregator partitions) — nothing to drop anyway
-        kept = slim
-    else:
-        kept = slim.join(drop, "left_anti", n_part, on=(id_col,))
-    return kept.map_batches(
-        lambda b: b.rename(columns={"ivf_bucket": "cluster"}),
-        batch_format="pandas")
+    return bucketed_group_apply(assigned, ["ivf_bucket"], kept_bucket,
+                                n_buckets=n_buckets)
 
 
 KMEANS_FP_SCALE = 1 << 20  # fixed-point quantum for deterministic sums
