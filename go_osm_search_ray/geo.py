@@ -299,26 +299,51 @@ def line_circle_intersect(center_lat, center_lon, radius_km, lat1, lon1, lat2, l
 
 
 def project_point_to_segment(p_lat, p_lon, a_lat, a_lon, b_lat, b_lon):
-    """Planar (lat, lon degrees) projection of P onto segment AB, clamped.
+    """GREAT-CIRCLE projection of P onto segment AB, clamped to the arc
+    — the spherical analog of the reference's S2 chord projection
+    (geometry.go:171-184), consistent with the haversine metric used
+    everywhere else (closes the round-3 planar/S2 divergence note).
 
-    The engine's canonical projection.  (The reference uses S2 chord
-    projection, geometry.go:171-184; on the small segments involved the
-    planar parameterization picks the same nearest segment — the final
-    distance is always re-measured with haversine_km.)  Returns
-    (proj_lat, proj_lon).  Degenerate segments (A == B) project to A.
-    """
-    p_lat = np.asarray(p_lat, dtype=np.float64)
-    p_lon = np.asarray(p_lon, dtype=np.float64)
-    a_lat = np.asarray(a_lat, dtype=np.float64)
-    a_lon = np.asarray(a_lon, dtype=np.float64)
-    b_lat = np.asarray(b_lat, dtype=np.float64)
-    b_lon = np.asarray(b_lon, dtype=np.float64)
-    d_lat, d_lon = b_lat - a_lat, b_lon - a_lon
-    denom = d_lat * d_lat + d_lon * d_lon
+    Unit-sphere math: n = A x B is the great-circle normal; the
+    projection is Q = normalize(P - (P.n̂)n̂); Q lies ON the arc iff
+    (A x Q).n̂ >= 0 and (Q x B).n̂ >= 0, else the nearest ENDPOINT
+    (larger P-dot, i.e. smaller chord == smaller haversine) wins.
+    Degenerate segments (A == B, so n == 0) project to A.  Fully
+    vectorized and broadcasting; mirrored expression-for-expression by
+    the DuckDB oracle (queries.sql_gc_project_ctes)."""
+    rad = np.radians
+    plat, plon = rad(np.asarray(p_lat, np.float64)), rad(np.asarray(p_lon, np.float64))
+    alat, alon = rad(np.asarray(a_lat, np.float64)), rad(np.asarray(a_lon, np.float64))
+    blat, blon = rad(np.asarray(b_lat, np.float64)), rad(np.asarray(b_lon, np.float64))
+    px, py, pz = np.cos(plat) * np.cos(plon), np.cos(plat) * np.sin(plon), np.sin(plat)
+    ax, ay, az = np.cos(alat) * np.cos(alon), np.cos(alat) * np.sin(alon), np.sin(alat)
+    bx, by, bz = np.cos(blat) * np.cos(blon), np.cos(blat) * np.sin(blon), np.sin(blat)
+    nx, ny, nz = ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+    nn = np.sqrt(nx * nx + ny * ny + nz * nz)
     with np.errstate(invalid="ignore", divide="ignore"):
-        t = ((p_lat - a_lat) * d_lat + (p_lon - a_lon) * d_lon) / denom
-    t = np.where(denom > 0, np.clip(t, 0.0, 1.0), 0.0)
-    return a_lat + t * d_lat, a_lon + t * d_lon
+        nxu, nyu, nzu = nx / nn, ny / nn, nz / nn
+        dot = px * nxu + py * nyu + pz * nzu
+        qx, qy, qz = px - dot * nxu, py - dot * nyu, pz - dot * nzu
+        qn = np.sqrt(qx * qx + qy * qy + qz * qz)
+        qxu, qyu, qzu = qx / qn, qy / qn, qz / qn
+        t1 = ((ay * qzu - az * qyu) * nxu + (az * qxu - ax * qzu) * nyu
+              + (ax * qyu - ay * qxu) * nzu)
+        t2 = ((qyu * bz - qzu * by) * nxu + (qzu * bx - qxu * bz) * nyu
+              + (qxu * by - qyu * bx) * nzu)
+    on_arc = (nn > 0) & (qn > 0) & (t1 >= 0) & (t2 >= 0)
+    on_arc &= np.isfinite(t1) & np.isfinite(t2)
+    use_a = (px * ax + py * ay + pz * az) >= (px * bx + py * by + pz * bz)
+    q_lat = np.degrees(np.arcsin(np.clip(np.where(on_arc, qzu, 0.0), -1.0, 1.0)))
+    q_lon = np.degrees(np.arctan2(np.where(on_arc, qyu, 0.0),
+                                  np.where(on_arc, qxu, 1.0)))
+    a_lat_b = np.broadcast_to(np.asarray(a_lat, np.float64), on_arc.shape)
+    a_lon_b = np.broadcast_to(np.asarray(a_lon, np.float64), on_arc.shape)
+    b_lat_b = np.broadcast_to(np.asarray(b_lat, np.float64), on_arc.shape)
+    b_lon_b = np.broadcast_to(np.asarray(b_lon, np.float64), on_arc.shape)
+    end_lat = np.where(use_a, a_lat_b, b_lat_b)
+    end_lon = np.where(use_a, a_lon_b, b_lon_b)
+    return (np.where(on_arc, q_lat, end_lat),
+            np.where(on_arc, q_lon, end_lon))
 
 
 # ---------------------------------------------------------------------------

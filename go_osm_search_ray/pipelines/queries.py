@@ -595,6 +595,55 @@ def q_reverse_geocode(sf_dir: str):
     return _round6(out, ["dist_km"])
 
 
+def sql_gc_project_ctes(p_cols: str) -> str:
+    """CTE chain from ``p CROSS JOIN s`` to ``pr`` with the
+    GREAT-CIRCLE projected (plat, plon) — mirrors
+    geo.project_point_to_segment expression for expression (unit
+    vectors, A x B normal, plane projection, on-arc sign tests,
+    nearest-endpoint fallback by dot product).  `p_cols` = point-side
+    columns to carry through (e.g. "p.point_id")."""
+    return f"""
+v AS (SELECT {p_cols}, p.lat, p.lon, s.street_id,
+             s.alat, s.alon, s.blat, s.blon,
+             cos(radians(p.lat))*cos(radians(p.lon)) AS px,
+             cos(radians(p.lat))*sin(radians(p.lon)) AS py,
+             sin(radians(p.lat)) AS pz,
+             cos(radians(s.alat))*cos(radians(s.alon)) AS ax,
+             cos(radians(s.alat))*sin(radians(s.alon)) AS ay,
+             sin(radians(s.alat)) AS az,
+             cos(radians(s.blat))*cos(radians(s.blon)) AS bx,
+             cos(radians(s.blat))*sin(radians(s.blon)) AS by_,
+             sin(radians(s.blat)) AS bz
+      FROM p CROSS JOIN s),
+n1 AS (SELECT *, ay*bz - az*by_ AS nx, az*bx - ax*bz AS ny,
+               ax*by_ - ay*bx AS nz FROM v),
+n2 AS (SELECT *, sqrt(nx*nx + ny*ny + nz*nz) AS nn FROM n1),
+n3 AS (SELECT *, CASE WHEN nn > 0 THEN nx/nn ELSE 0.0 END AS nxu,
+               CASE WHEN nn > 0 THEN ny/nn ELSE 0.0 END AS nyu,
+               CASE WHEN nn > 0 THEN nz/nn ELSE 0.0 END AS nzu FROM n2),
+q1 AS (SELECT *, px - (px*nxu + py*nyu + pz*nzu)*nxu AS qx,
+               py - (px*nxu + py*nyu + pz*nzu)*nyu AS qy,
+               pz - (px*nxu + py*nyu + pz*nzu)*nzu AS qz FROM n3),
+q2 AS (SELECT *, sqrt(qx*qx + qy*qy + qz*qz) AS qn FROM q1),
+q3 AS (SELECT *, CASE WHEN qn > 0 THEN qx/qn ELSE 0.0 END AS qxu,
+               CASE WHEN qn > 0 THEN qy/qn ELSE 0.0 END AS qyu,
+               CASE WHEN qn > 0 THEN qz/qn ELSE 0.0 END AS qzu FROM q2),
+t AS (SELECT *, (ay*qzu - az*qyu)*nxu + (az*qxu - ax*qzu)*nyu
+               + (ax*qyu - ay*qxu)*nzu AS t1,
+              (qyu*bz - qzu*by_)*nxu + (qzu*bx - qxu*bz)*nyu
+               + (qxu*by_ - qyu*bx)*nzu AS t2,
+              px*ax + py*ay + pz*az AS da,
+              px*bx + py*by_ + pz*bz AS db FROM q3),
+pr AS (SELECT * EXCLUDE (alat, alon, blat, blon),
+         CASE WHEN nn > 0 AND qn > 0 AND t1 >= 0 AND t2 >= 0
+              THEN degrees(asin(LEAST(GREATEST(qzu, -1.0), 1.0)))
+              WHEN da >= db THEN alat ELSE blat END AS plat,
+         CASE WHEN nn > 0 AND qn > 0 AND t1 >= 0 AND t2 >= 0
+              THEN degrees(atan2(qyu, qxu))
+              WHEN da >= db THEN alon ELSE blon END AS plon
+       FROM t)"""
+
+
 SQL_REVERSE_GEOCODE = f"""
 WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS point_id,
                   {sql_lat('c_custkey')} AS lat, {sql_lon('c_custkey')} AS lon
@@ -603,14 +652,7 @@ s AS (SELECT CAST(n_nationkey AS BIGINT) AS street_id,
              {sql_lat('n_nationkey*31+11')} AS alat, {sql_lon('n_nationkey*31+11')} AS alon,
              {sql_lat('n_nationkey*31+12')} AS blat, {sql_lon('n_nationkey*31+12')} AS blon
       FROM nation),
-pr AS (SELECT p.point_id, s.street_id, p.lat, p.lon,
-              s.alat + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
-                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
-                       * (s.blat-s.alat) AS plat,
-              s.alon + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
-                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
-                       * (s.blon-s.alon) AS plon
-       FROM p CROSS JOIN s),
+{sql_gc_project_ctes('p.point_id')},
 d AS (SELECT point_id, street_id,
              {sql_haversine('lat', 'lon', 'plat', 'plon')} AS dist_km,
              row_number() OVER (PARTITION BY point_id
@@ -626,7 +668,7 @@ MATCH_KM = 500.0
 def q_track_map_match(sf_dir: str):
     """Trajectory MAP-MATCHING summary: every track point snaps to
     its nearest street segment (the broadcast-compiled
-    reverse-geocode stage, planar projection per rtree.go:656-682's
+    reverse-geocode stage, great-circle projection per rtree.go:656-682's
     nearest-neighbor role), and each track reports how many of its
     points matched within 500 km — the match-rate gate a
     map-matching pipeline runs before trusting a trace.  Output:
@@ -656,14 +698,7 @@ s AS (SELECT CAST(n_nationkey AS BIGINT) AS street_id,
     return f"""
 WITH p AS (SELECT seq, point_id, lat, lon FROM ({SQL_EVENT_POINTS})),
 {seg},
-pr AS (SELECT p.point_id, p.seq, p.lat, p.lon,
-              s.alat + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
-                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
-                       * (s.blat-s.alat) AS plat,
-              s.alon + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
-                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
-                       * (s.blon-s.alon) AS plon
-       FROM p CROSS JOIN s),
+{sql_gc_project_ctes('p.point_id, p.seq')},
 d AS (SELECT point_id, seq,
              MIN({sql_haversine('lat', 'lon', 'plat', 'plon')}) AS dist_km
       FROM pr GROUP BY 1, 2)

@@ -581,8 +581,9 @@ class CompiledSegments:
 
     def nearest(self, p_lat: np.ndarray, p_lon: np.ndarray, seg_chunk: int = 2048):
         """Per point: (street_id, dist_km, proj_lat, proj_lon) of the
-        nearest segment (haversine to the clamped planar projection,
-        reference searcher.go:437-459).  Ties -> lower street_id wins."""
+        nearest segment (haversine to the clamped GREAT-CIRCLE
+        projection — the spherical analog of the reference's S2 chord
+        projection, searcher.go:437-459).  Ties -> lower street_id wins."""
         n = len(p_lat)
         best_d = np.full(n, np.inf)
         best_i = np.zeros(n, dtype=np.int64)

@@ -154,9 +154,40 @@ class TestTiles:
 
 
 class TestProjection:
-    def test_project_midpoint(self):
+    def test_project_onto_meridian(self):
+        # great circle through (0,0)-(10,0) is the lon=0 meridian; the
+        # projection lands ON it (lon exactly 0), near lat 5
         la, lo = geo.project_point_to_segment(5.0, 1.0, 0.0, 0.0, 10.0, 0.0)
-        assert (la, lo) == (5.0, 0.0)
+        assert lo == 0.0
+        assert abs(la - 5.0) < 0.05
+
+    def test_projection_is_nearest_on_arc(self):
+        # the returned point must beat a dense sample of the arc
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            a = rng.uniform(-60, 60, 2)
+            b = a + rng.uniform(-3, 3, 2)
+            p = a + rng.uniform(-4, 4, 2)
+            la, lo = geo.project_point_to_segment(
+                p[0], p[1], a[0], a[1], b[0], b[1])
+            d = geo.haversine_km(p[0], p[1], la, lo)
+
+            # sample the TRUE great-circle arc by slerp of unit vectors
+            def unit(lat, lon):
+                lat, lon = np.radians(lat), np.radians(lon)
+                return np.array([np.cos(lat) * np.cos(lon),
+                                 np.cos(lat) * np.sin(lon), np.sin(lat)])
+
+            ua, ub = unit(*a), unit(*b)
+            om = np.arccos(np.clip(ua @ ub, -1, 1))
+            t = np.linspace(0, 1, 2000)[:, None]
+            v = (np.sin((1 - t) * om) * ua[None, :]
+                 + np.sin(t * om) * ub[None, :]) / np.sin(om)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            arc_lat = np.degrees(np.arcsin(np.clip(v[:, 2], -1, 1)))
+            arc_lon = np.degrees(np.arctan2(v[:, 1], v[:, 0]))
+            d_arc = geo.haversine_km(p[0], p[1], arc_lat, arc_lon)
+            assert d <= d_arc.min() + 1e-6
 
     def test_clamps(self):
         la, lo = geo.project_point_to_segment(-5.0, 1.0, 0.0, 0.0, 10.0, 0.0)
