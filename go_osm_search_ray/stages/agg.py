@@ -45,17 +45,22 @@ def two_phase_agg(ds, partial_fn, keys, sums, combine: str = "shuffle",
             h = pd.util.hash_pandas_object(b[list(keys)], index=False)
             return b.assign(_bucket=h.to_numpy() % n_buckets)
 
-        def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            return (
-                g.drop(columns=["_bucket"])
-                .groupby(list(keys), sort=False, as_index=False)[list(sums)]
-                .sum()
-            )
+        def combine_bucket(g):
+            # pyarrow-native combine: Acero's C++ hash aggregation,
+            # no pandas round-trip on the post-shuffle path
+            import pyarrow as pa
+
+            out = g.group_by(list(keys)).aggregate(
+                [(s, "sum") for s in sums])
+            cols = {k: out[k] for k in keys}
+            for s in sums:
+                cols[s] = out[f"{s}_sum"]
+            return pa.table(cols)
 
         return (
             partials.map_batches(add_bucket, batch_format="pandas")
             .groupby("_bucket")
-            .map_groups(combine_bucket, batch_format="pandas")
+            .map_groups(combine_bucket, batch_format="pyarrow")
         )
     pdf = partials.to_pandas()
     if len(pdf) == 0:
@@ -106,16 +111,15 @@ def ensure_schema(ds, dtypes: dict):
     schema = pa.schema([(c, pa.from_numpy_dtype(np.dtype(t)))
                         for c, t in dtypes.items()])
 
-    def fix(b: pd.DataFrame) -> pa.Table:
-        if len(b) == 0:
-            # Arrow block with explicit fields: an empty TYPED pandas
-            # frame still arrives schema-less at the join boundary
+    def fix(t: pa.Table) -> pa.Table:
+        # pyarrow-native: select + cast, no pandas round-trip (this
+        # sits on every join path, so the conversion cost is per-block
+        # per-stage).  Empty/schema-less blocks get the typed schema.
+        if t.num_rows == 0:
             return schema.empty_table()
-        return pa.Table.from_pandas(
-            b[cols].astype(dtypes, copy=False), schema=schema,
-            preserve_index=False)
+        return t.select(cols).cast(schema)
 
-    return ds.map_batches(fix, batch_format="pandas")
+    return ds.map_batches(fix, batch_format="pyarrow")
 
 
 def membership_filter(probe_ds, keys_mat, probe_col: str, key_col: str,
