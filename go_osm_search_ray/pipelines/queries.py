@@ -3054,14 +3054,7 @@ s AS (SELECT CAST(n_nationkey AS BIGINT) AS street_id,
              {sql_lat('n_nationkey*31+11')} AS alat, {sql_lon('n_nationkey*31+11')} AS alon,
              {sql_lat('n_nationkey*31+12')} AS blat, {sql_lon('n_nationkey*31+12')} AS blon
       FROM nation),
-pr AS (SELECT p.point_id, s.street_id, p.lat, p.lon,
-              s.alat + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
-                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
-                       * (s.blat-s.alat) AS plat,
-              s.alon + LEAST(GREATEST(((p.lat-s.alat)*(s.blat-s.alat)+(p.lon-s.alon)*(s.blon-s.alon))
-                       / ((s.blat-s.alat)*(s.blat-s.alat)+(s.blon-s.alon)*(s.blon-s.alon)),0.0),1.0)
-                       * (s.blon-s.alon) AS plon
-       FROM p CROSS JOIN s),
+{sql_gc_project_ctes('p.point_id')},
 nearest AS (SELECT point_id, street_id, lat, lon,
                    row_number() OVER (PARTITION BY point_id
                                       ORDER BY {sql_haversine('lat', 'lon', 'plat', 'plon')}, street_id) AS rn
