@@ -31,7 +31,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {name: fn for name, (fn, _sql) in q.registry().items()}
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """Oracle SQL for every SQL-expressible query.  The trained-state
+    oracles (kmeans/PQ/IVF/BPE/SemDeDup VALUES tables) are regenerated
+    from the sf the harness compares at: the driver's contract sf0.01
+    by default, overridable via arg or GRAFT_ORACLE_SF_DIR."""
+    import os
+
     from go_osm_search_ray.pipelines import queries as q
 
-    return {name: sql for name, (_fn, sql) in q.registry().items() if sql is not None}
+    sf = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR") or q.ORACLE_SF
+    return {name: sql for name, (_fn, sql) in q.registry(sf).items() if sql is not None}

@@ -30,6 +30,33 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _loadavg() -> float:
+    """1-min load average — stamped into every JSON artifact so a
+    loaded-window sample is self-identifying (round-4 verdict: the
+    official BENCH_r04 number was a co-tenant burst, not a plan
+    change; the stamp makes that adjudicable from the artifact)."""
+    return round(os.getloadavg()[0], 2)
+
+
+def _wait_quiet(threshold: float | None = None, max_wait: float | None = None) -> float:
+    """Block (bounded) until the 1-min loadavg drops below threshold.
+
+    Called BEFORE ray.init so the reading reflects co-tenants only,
+    not our own workers.  Returns the loadavg that let us through
+    (or the last reading if the wait timed out — we proceed anyway;
+    the stamp records the window either way)."""
+    threshold = threshold if threshold is not None else float(
+        os.environ.get("GRAFT_LOADAVG_GATE", "1.0"))
+    max_wait = max_wait if max_wait is not None else float(
+        os.environ.get("GRAFT_LOADAVG_WAIT", "300"))
+    deadline = time.monotonic() + max_wait
+    la = _loadavg()
+    while la > threshold and time.monotonic() < deadline:
+        time.sleep(15)
+        la = _loadavg()
+    return la
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 FLAGSHIP_N = int(os.environ.get("GRAFT_FLAGSHIP_N", "4000000"))
 IMAGE_CACHE = f"/tmp/graft_images_n{FLAGSHIP_N}_seed42"
@@ -170,16 +197,16 @@ def run_queries() -> dict[str, float]:
 
     reg = q.registry()
     times = {}
+    # UNIFORM best-of-2 for every query (round-4 ADVICE: the old
+    # "re-time only if >1s" policy was asymmetric — it could only
+    # lower reported numbers, muddying round-over-round comparisons).
+    # The host is shared and single runs are ±40% noisy; the minimum
+    # of two identical runs measures capability, not co-tenant burst.
+    reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
     for name in BENCH_QUERIES:
         fn, _sql = reg[name]
-        t0 = time.perf_counter()
-        consume(fn(SF_DIR))
-        dt = time.perf_counter() - t0
-        if dt > 1.0:
-            # same policy as the flagship's best-of-3: the host is
-            # shared and single runs are ±40% noisy — re-time the
-            # slow ones once and keep the minimum (capability, not
-            # co-tenant burst)
+        dt = float("inf")
+        for _ in range(reps):
             t0 = time.perf_counter()
             consume(fn(SF_DIR))
             dt = min(dt, time.perf_counter() - t0)
@@ -190,6 +217,9 @@ def run_queries() -> dict[str, float]:
 def main_bench() -> dict:
     import ray
 
+    # wait (bounded) for a sub-1.0-loadavg window before starting:
+    # measured BEFORE ray.init so it reflects co-tenants, not us
+    loadavg_start = _wait_quiet()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR")
@@ -206,10 +236,11 @@ def main_bench() -> dict:
 
     # best-of-3 on a warm cluster: the host is shared, single runs are
     # +/-40% noisy; the minimum measures pipeline capability
-    flagship_sec, flagship_rows = min(
-        (run_flagship("/tmp/graft_flagship_out") for _ in range(3)),
-        key=lambda t: t[0],
+    flagship_runs = sorted(
+        round(run_flagship("/tmp/graft_flagship_out")[0], 3) for _ in range(3)
     )
+    flagship_sec, flagship_rows = flagship_runs[0], FLAGSHIP_N
+    loadavg_after_flagship = _loadavg()
     qtimes = run_queries()
     result = {
         "metric": "flagship tile-assign + PIP-join + partitioned-write sec "
@@ -221,6 +252,10 @@ def main_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "flagship_rows": flagship_rows,
         "flagship_rows_per_sec": round(flagship_rows / flagship_sec, 1),
+        "flagship_runs": flagship_runs,
+        "loadavg_start": loadavg_start,
+        "loadavg_after_flagship": loadavg_after_flagship,
+        "loadavg_end": _loadavg(),
     }
     ray.shutdown()
     return result
@@ -280,7 +315,9 @@ def main_scaling() -> dict:
         "scaling_efficiency_median": round(eff_med, 3),
         "pair_efficiencies": pair_effs,
         "all_runs": [
-            {f"runs_{lo}": a["runs"], f"runs_{hi}": b["runs"]}
+            {f"runs_{lo}": a["runs"], f"runs_{hi}": b["runs"],
+             f"loadavg_{lo}": [a["loadavg_start"], a["loadavg_end"]],
+             f"loadavg_{hi}": [b["loadavg_start"], b["loadavg_end"]]}
             for a, b in iters
         ],
         "flagship_rows": r_hi["flagship_rows"],
@@ -308,6 +345,7 @@ def main_scaling() -> dict:
 def main_flagship_only() -> dict:
     import ray
 
+    loadavg_start = _loadavg()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -335,6 +373,7 @@ def main_flagship_only() -> dict:
         "runs": runs, "median_sec": runs[len(runs) // 2],
         "flagship_rows": rows,
         "flagship_rows_per_sec": round(rows / sec, 1),
+        "loadavg_start": loadavg_start, "loadavg_end": _loadavg(),
     }
     if cpu_totals:
         out["cpu_total_sec"] = min(cpu_totals)

@@ -234,10 +234,14 @@ def merge_postings(old_postings_ds, new_docs_ds, id_col: str = "doc_id",
             return pd.DataFrame({"term": b["term"], "sub": b["sub"]})
         ids = cached_state(f"upsert-ids-{ids_ref.hex()}",
                            lambda: ray.get(ids_ref))
-        subs = [np.asarray(x) for x in b["sub"]]
+        # explicit int64 per sub-list: an empty list would otherwise
+        # become float64 and promote the whole concatenation, silently
+        # rebuilding every postings list as floats (round-4 ADVICE)
+        subs = [np.asarray(x, dtype=np.int64) for x in b["sub"]]
         lens = np.fromiter((len(s) for s in subs), dtype=np.int64,
                            count=len(subs))
-        flat = np.concatenate(subs) if lens.sum() else np.array([])
+        flat = (np.concatenate(subs) if lens.sum()
+                else np.array([], dtype=np.int64))
         if len(ids) and len(flat):
             pos = np.searchsorted(ids, flat)
             pos[pos == len(ids)] = 0

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from .. import geo
 from ..sources import read_table, read_table_arrow
-from ..stages import dedup, embed, geofence, knn, pip, text, tiling
+from ..stages import agg, dedup, embed, geofence, knn, pip, text, tiling
 
 TILE_RES = 7
 _N = 1 << TILE_RES
@@ -418,10 +418,16 @@ def q_vectorize(sf_dir: str):
         tiling.derive_key_latlon("o_orderkey"), batch_format="pyarrow"
     )
     out = tiling.vectorize_tiles(pts, res=6, min_count=3)
-    return out.map_batches(
+    out = out.map_batches(
         lambda b: _round6(b, ["lat0", "lat1", "lon0", "lon1"]),
         batch_format="pandas",
     )
+    # min_count can filter EVERYTHING at small sf — and Ray drops the
+    # whole schema from an all-empty dataset, so return a typed empty
+    # frame in that case (round-5 fix for the sf0.001 schema loss)
+    return _typed_or_empty(
+        out, {"tile_id": "int64", "n": "int64", "lat0": "float64",
+              "lat1": "float64", "lon0": "float64", "lon1": "float64"})
 
 
 def _sql_vectorize(res: int = 6, min_count: int = 3) -> str:
@@ -535,6 +541,22 @@ def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].round(6)
     return df
+
+
+def _typed_or_empty(ds, dtypes: dict):
+    """Guard for threshold-filtered queries that can legitimately
+    return ZERO rows at small sf: Ray 2.49 discards empty blocks, so
+    an all-empty Dataset loses its entire schema (ds.schema() is None
+    and to_pandas() has no columns) no matter what ensure_schema
+    pinned upstream.  Materialize (results here are small by
+    construction), and hand back a typed empty pandas frame when the
+    count is 0 so the driver's schema/hash compare sees the named
+    columns."""
+    m = ds.materialize()
+    if m.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in dtypes.items()})
+    return m
 
 
 def q_knn_join(sf_dir: str):
@@ -991,23 +1013,30 @@ def q_quality_filter(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    # text-heavy work stays arrow (zero-copy utf8_length); only the
+    # SLIM (doc_id, n_chars) projection ever reaches a pandas hop
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+        })
+
+    lens_ds = ds.map_batches(lengths, batch_format="pyarrow")
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        n_chars = b["text"].str.len().astype(np.int64)
-        return (pd.DataFrame({"n_chars": n_chars})
+        return (b[["n_chars"]]
                 .groupby("n_chars", sort=False).size().reset_index(name="n"))
 
-    hist = two_phase_agg(ds, partial, ["n_chars"], ["n"],
+    hist = two_phase_agg(lens_ds, partial, ["n_chars"], ["n"],
                          combine="shuffle").to_pandas()
     hist = hist.sort_values("n_chars", kind="mergesort")
     med = int(quantile_disc_from_histogram(
         hist["n_chars"].to_numpy(), hist["n"].to_numpy(), 0.5))
 
-    def keep(b: pd.DataFrame) -> pd.DataFrame:
-        n_chars = b["text"].str.len().astype(np.int64)
-        out = pd.DataFrame({"doc_id": b["doc_id"], "n_chars": n_chars})
-        return out[n_chars >= med]
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_chars"], med))
 
-    return ds.map_batches(keep, batch_format="pandas")
+    return lens_ds.map_batches(keep, batch_format="pyarrow")
 
 
 SQL_QUALITY_FILTER = """
@@ -1235,29 +1264,31 @@ def q_quality_signals(sf_dir: str):
     identically across engines)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def signals(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = text.tokenize_series(batch["text"])
-        codes, uniques, lens, starts = text.flatten_tokens(toks)
+    def signals(batch: pa.Table) -> pa.Table:
+        # pyarrow-native (round-5): tokenize/factorize via RE2 +
+        # dictionary_encode, char classes via count_substring_regex —
+        # the text column never converts to pandas
+        codes, uniques, lens, starts = text.tokenize_flat_arrow(
+            batch["text"])
         stop_u = np.isin(uniques, text.STOPWORDS["en"])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "n_tokens": lens,
-                "n_chars": batch["text"].str.len().to_numpy(np.int64),
-                "alnum_space_chars": batch["text"]
-                .str.count(r"[a-zA-Z0-9 ]")
-                .to_numpy(np.int64),
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+                "alnum_space_chars": pc.count_substring_regex(
+                    batch["text"], "[a-zA-Z0-9 ]").cast(pa.int64()),
                 # each [a-z0-9] char belongs to exactly one token of the
                 # [a-z0-9]+ tokenizer -> token_chars is ONE regex count
-                "token_chars": batch["text"]
-                .str.count(r"[a-zA-Z0-9]")
-                .to_numpy(np.int64),
-                "stop_hits": text.per_doc_sum(
+                "token_chars": pc.count_substring_regex(
+                    batch["text"], "[a-zA-Z0-9]").cast(pa.int64()),
+                "stop_hits": pa.array(text.per_doc_sum(
                     stop_u[codes].astype(np.int64), lens, starts),
+                    pa.int64()),
             }
         )
 
-    return ds.map_batches(signals, batch_format="pandas")
+    return ds.map_batches(signals, batch_format="pyarrow")
 
 
 _EN = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
@@ -1275,7 +1306,7 @@ FROM documents
 
 def q_lang_id(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        lambda b: text.lang_id(b), batch_format="pandas"
+        lambda b: text.lang_id_arrow(b), batch_format="pyarrow"
     )
 
 
@@ -1300,7 +1331,7 @@ SQL_LANG_ID = _sql_lang_id()
 
 def q_token_counts(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        lambda b: text.token_counts(b), batch_format="pandas"
+        lambda b: text.token_counts_arrow(b), batch_format="pyarrow"
     )
 
 
@@ -1318,8 +1349,8 @@ def q_repetition_signals(sf_dir: str):
     integer numerator/denominator pairs (text.repetition_signals).
     A pure map stage — streams at any scale."""
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(lambda b: text.repetition_signals(b),
-                     batch_format="pandas")
+        .map_batches(lambda b: text.repetition_signals_arrow(b),
+                     batch_format="pyarrow")
 
 
 SQL_REPETITION = f"""
@@ -1609,25 +1640,35 @@ def q_corpus_prep(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    # arrow-native length projection feeds the histogram; only slim
+    # (n_chars) rows reach the pandas combine (round-5 conversion-tax
+    # fix — the corpus text never converts to pandas)
+    lens_ds = ds.map_batches(
+        lambda b: pa.table({"n_chars": pc.utf8_length(b["text"])
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
-        n_chars = b["text"].str.len().astype(np.int64)
-        return (pd.DataFrame({"n_chars": n_chars})
+        return (b[["n_chars"]]
                 .groupby("n_chars", sort=False).size().reset_index(name="n"))
 
-    hist = two_phase_agg(ds, hist_partial, ["n_chars"], ["n"],
+    hist = two_phase_agg(lens_ds, hist_partial, ["n_chars"], ["n"],
                          combine="shuffle").to_pandas()
     hist = hist.sort_values("n_chars", kind="mergesort")
     med = int(quantile_disc_from_histogram(
         hist["n_chars"].to_numpy(), hist["n"].to_numpy(), 0.5))
 
-    def gate(b: pd.DataFrame) -> pd.DataFrame:
-        sig = text.repetition_signals(b)
-        keep = (b["text"].str.len().to_numpy(np.int64) >= med) \
-            & (5 * sig["top_bigram_n"].to_numpy() <= sig["n_bigrams"].to_numpy()) \
-            & (10 * sig["n_distinct"].to_numpy() >= 3 * sig["n_tokens"].to_numpy())
-        return b.loc[keep, ["doc_id"]]
+    def gate(b: pa.Table) -> pa.Table:
+        sig = text.repetition_signals_arrow(b)
+        keep = (pc.utf8_length(b["text"]).cast(pa.int64()).to_numpy()
+                >= med) \
+            & (5 * sig["top_bigram_n"].to_numpy()
+               <= sig["n_bigrams"].to_numpy()) \
+            & (10 * sig["n_distinct"].to_numpy()
+               >= 3 * sig["n_tokens"].to_numpy())
+        return b.select(["doc_id"]).filter(pa.array(keep))
 
-    gated = ds.map_batches(gate, batch_format="pandas")
+    gated = ds.map_batches(gate, batch_format="pyarrow")
     reps = dedup.exact_dedup(ds).map_batches(
         lambda b: b[["doc_id"]], batch_format="pandas").materialize()
     if reps.count() <= 4_000_000:
@@ -2640,7 +2681,12 @@ def q_dbscan(sf_dir: str):
         return b.rename_columns(["point_id", "lat", "lon"])
 
     pts = ds.map_batches(derive, batch_format="pyarrow")
-    return dbscan(pts, eps_km=200.0, minpts=5, res=TILE_RES)
+    out = dbscan(pts, eps_km=200.0, minpts=5, res=TILE_RES)
+    # at small sf no cell reaches minpts -> all-empty result loses its
+    # schema in Ray; return the typed empty frame instead
+    return _typed_or_empty(
+        out, {"point_id": "int64", "cluster_id": "int64",
+              "is_core": "int64"})
 
 
 SQL_DBSCAN = f"""
@@ -3785,9 +3831,9 @@ def q_ivf_assign(sf_dir: str):
     the first-200 sample) stays non-SQL, but the trained centroids are
     emitted into the oracle as a literal VALUES table and the argmin
     assignment is verified row for row (the fixed-input technique the
-    image oracles use).  The SQL is generated from the driver's
-    correctness sf (sf0.01) with the IDENTICAL deterministic recipe, so
-    query and oracle share centroids exactly there."""
+    image oracles use).  The SQL is generated from the sf_dir the
+    harness passes to registry() with the IDENTICAL deterministic
+    recipe, so query and oracle share centroids exactly at ANY sf."""
     emb = read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
     sample = np.asarray(emb["embedding"].to_pylist()[:200], dtype=np.float64)
     cents = embed.kmeans_centroids(sample, 8, iters=5)
@@ -3795,18 +3841,20 @@ def q_ivf_assign(sf_dir: str):
     return embed.ivf_assign(ds, cents).select_columns(["vec_id", "ivf_bucket"])
 
 
-_IVF_ASSIGN_SQL_CACHE: list = []
+_IVF_ASSIGN_SQL_CACHE: dict = {}
 
 
-def _ivf_assign_sql(sf_dir: str = "/root/testdata/sf0.01"):
-    """VALUES-table oracle for q_ivf_assign (see its docstring)."""
-    if _IVF_ASSIGN_SQL_CACHE:
-        return _IVF_ASSIGN_SQL_CACHE[0]
+def _ivf_assign_sql(sf_dir: str):
+    """VALUES-table oracle for q_ivf_assign (see its docstring).
+    Keyed by sf_dir (round-5: trained-state oracles are generated
+    from the sf actually under test, never pinned to sf0.01)."""
+    if sf_dir in _IVF_ASSIGN_SQL_CACHE:
+        return _IVF_ASSIGN_SQL_CACHE[sf_dir]
     import os
 
     f = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(f):
-        _IVF_ASSIGN_SQL_CACHE.append(None)
+        _IVF_ASSIGN_SQL_CACHE[sf_dir] = None
         return None
     import pyarrow.parquet as pq
 
@@ -3830,7 +3878,7 @@ a AS (SELECT vec_id, cid,
       FROM d)
 SELECT vec_id, CAST(cid AS BIGINT) AS ivf_bucket FROM a WHERE rn = 1
 """
-    _IVF_ASSIGN_SQL_CACHE.append(sql)
+    _IVF_ASSIGN_SQL_CACHE[sf_dir] = sql
     return sql
 
 
@@ -3851,12 +3899,10 @@ def q_pq_encode(sf_dir: str):
     code) table is the at-rest form a 10^12-vector corpus stores in
     place of float embeddings (32x smaller reads).
 
-    Like _ivf_assign_sql, the oracle SQL is generated from the
-    driver's correctness sf (sf0.01) with the IDENTICAL deterministic
-    training recipe, so query and oracle share codebooks exactly
-    there; at any other sf the VALUES table does not correspond and
-    the oracle comparison is meaningless (the fixed-input-technique
-    limitation, shared by every trained-state oracle here)."""
+    Like _ivf_assign_sql, the oracle SQL is generated from the sf_dir
+    the harness passes to registry() with the IDENTICAL deterministic
+    training recipe, so query and oracle share codebooks exactly at
+    any sf (round-5 un-pinning; caches keyed by sf_dir)."""
     books = _pq_books(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embed.pq_encode(ds, books)
@@ -3865,7 +3911,7 @@ def q_pq_encode(sf_dir: str):
 _PQ_SQL_CACHE: dict = {}
 
 
-def _pq_values(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+def _pq_values(sf_dir: str) -> str | None:
     """Codebooks as a VALUES table (sub, code, dim, val); dim GLOBAL
     1-based, matching embedding[i] indexing."""
     import os
@@ -3880,9 +3926,9 @@ def _pq_values(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     )
 
 
-def _pq_encode_sql(sf_dir: str = "/root/testdata/sf0.01"):
-    if "encode" in _PQ_SQL_CACHE:
-        return _PQ_SQL_CACHE["encode"]
+def _pq_encode_sql(sf_dir: str):
+    if ("encode", sf_dir) in _PQ_SQL_CACHE:
+        return _PQ_SQL_CACHE[("encode", sf_dir)]
     values = _pq_values(sf_dir)
     sql = None if values is None else f"""
 WITH cb(sub, code, dim, val) AS (VALUES {values}),
@@ -3898,7 +3944,7 @@ a AS (SELECT vec_id, sub, code,
 SELECT vec_id, CAST(sub AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
 FROM a WHERE rn = 1
 """
-    _PQ_SQL_CACHE["encode"] = sql
+    _PQ_SQL_CACHE[("encode", sf_dir)] = sql
     return sql
 
 
@@ -3920,9 +3966,9 @@ def q_pq_search(sf_dir: str):
     return _round6(out[["query_id", "rank", "vec_id", "adc"]], ["adc"])
 
 
-def _pq_search_sql(sf_dir: str = "/root/testdata/sf0.01"):
-    if "search" in _PQ_SQL_CACHE:
-        return _PQ_SQL_CACHE["search"]
+def _pq_search_sql(sf_dir: str):
+    if ("search", sf_dir) in _PQ_SQL_CACHE:
+        return _PQ_SQL_CACHE[("search", sf_dir)]
     values = _pq_values(sf_dir)
     sql = None if values is None else f"""
 WITH cb(sub, code, dim, val) AS (VALUES {values}),
@@ -3951,7 +3997,7 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
        round(adc, 6) AS adc
 FROM r WHERE rank <= 5
 """
-    _PQ_SQL_CACHE["search"] = sql
+    _PQ_SQL_CACHE[("search", sf_dir)] = sql
     return sql
 
 
@@ -4287,20 +4333,20 @@ def q_bpe_encode(sf_dir: str):
         read_table(sf_dir, "documents", columns=["doc_id", "text"]), merges)
 
 
-_BPE_SQL_CACHE: list = []
+_BPE_SQL_CACHE: dict = {}
 
 
-def _bpe_sql(sf_dir: str = "/root/testdata/sf0.01"):
+def _bpe_sql(sf_dir: str):
     """Inline the locally-retrained merge list (identical to the
     distributed trainer by exact-integer determinism — pytest-pinned)
-    as a replace() chain."""
-    if _BPE_SQL_CACHE:
-        return _BPE_SQL_CACHE[0]
+    as a replace() chain.  Keyed by sf_dir."""
+    if sf_dir in _BPE_SQL_CACHE:
+        return _BPE_SQL_CACHE[sf_dir]
     import os
 
     f = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(f):
-        _BPE_SQL_CACHE.append(None)
+        _BPE_SQL_CACHE[sf_dir] = None
         return None
     import pyarrow.parquet as pq
 
@@ -4322,7 +4368,7 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(length(w)) AS BIGINT) AS n_chars
 FROM s GROUP BY doc_id
 """
-    _BPE_SQL_CACHE.append(sql)
+    _BPE_SQL_CACHE[sf_dir] = sql
     return sql
 
 
@@ -4401,17 +4447,17 @@ def q_semantic_dedup(sf_dir: str):
         cents, threshold=0.4)
 
 
-_SEMDEDUP_SQL_CACHE: list = []
+_SEMDEDUP_SQL_CACHE: dict = {}
 
 
-def _semantic_dedup_sql(sf_dir: str = "/root/testdata/sf0.01"):
-    if _SEMDEDUP_SQL_CACHE:
-        return _SEMDEDUP_SQL_CACHE[0]
+def _semantic_dedup_sql(sf_dir: str):
+    if sf_dir in _SEMDEDUP_SQL_CACHE:
+        return _SEMDEDUP_SQL_CACHE[sf_dir]
     import os
 
     f = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(f):
-        _SEMDEDUP_SQL_CACHE.append(None)
+        _SEMDEDUP_SQL_CACHE[sf_dir] = None
         return None
     import pyarrow.parquet as pq_mod
 
@@ -4457,7 +4503,7 @@ roots AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node)
 SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster FROM asg
 WHERE asg.vec_id NOT IN (SELECT node FROM roots WHERE root < node)
 """
-    _SEMDEDUP_SQL_CACHE.append(sql)
+    _SEMDEDUP_SQL_CACHE[sf_dir] = sql
     return sql
 
 
@@ -4658,17 +4704,17 @@ def q_kmeans_assign(sf_dir: str):
         batch_format="pandas")
 
 
-_KMEANS_SQL_CACHE: list = []
+_KMEANS_SQL_CACHE: dict = {}
 
 
-def _kmeans_assign_sql(sf_dir: str = "/root/testdata/sf0.01"):
-    if _KMEANS_SQL_CACHE:
-        return _KMEANS_SQL_CACHE[0]
+def _kmeans_assign_sql(sf_dir: str):
+    if sf_dir in _KMEANS_SQL_CACHE:
+        return _KMEANS_SQL_CACHE[sf_dir]
     import os
 
     f = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(f):
-        _KMEANS_SQL_CACHE.append(None)
+        _KMEANS_SQL_CACHE[sf_dir] = None
         return None
     import pyarrow.parquet as pq_mod
 
@@ -4693,7 +4739,7 @@ a AS (SELECT vec_id, cid,
       FROM d)
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a WHERE rn = 1
 """
-    _KMEANS_SQL_CACHE.append(sql)
+    _KMEANS_SQL_CACHE[sf_dir] = sql
     return sql
 
 
@@ -4938,6 +4984,135 @@ def _upsert_split(sf_dir: str, new: bool):
         .map_batches(f, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# OSM-format ingestion proof (round-5 ask #8): the reference's reader
+# semantics (parse_osm.go:42-137 — S1 filtered entity scan + M1 tag
+# allow-filter + M2 name extraction, and S2/J1 way->node ref
+# resolution) over a checked-in REAL-format OSM XML extract
+# (tests/data/sample.osm, deterministically synthesized — sandbox
+# forbids external data).  The oracle reads the SAME content from
+# flattened CSVs, so a value match proves the XML parser and the
+# resolve semantics, not the data.
+
+import os as _os
+
+_OSM_DATA_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "tests", "data")
+OSM_SAMPLE = _os.path.join(_OSM_DATA_DIR, "sample.osm")
+OSM_POI_AMENITIES = ("restaurant", "cafe", "school")
+
+
+def q_osm_poi_extract(sf_dir: str):
+    """S1+M1+M2 on real-format OSM XML: parse nodes, allow-filter on
+    the amenity tag, carry the extracted name.  `sf_dir` is unused —
+    the input is the checked-in extract (fixture by design)."""
+    from ..sources.osm import read_osm
+
+    nodes = read_osm(OSM_SAMPLE, kind="nodes")
+    allow = pa.array(list(OSM_POI_AMENITIES))
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["amenity"], value_set=allow))
+
+    return nodes.map_batches(f, batch_format="pyarrow")
+
+
+SQL_OSM_POI_EXTRACT = f"""
+SELECT CAST(node_id AS BIGINT) AS node_id, lat, lon,
+       COALESCE(amenity, '') AS amenity, COALESCE(name, '') AS name
+FROM read_csv('{_OSM_DATA_DIR}/sample_nodes.csv', header=true)
+WHERE amenity IN ('restaurant', 'cafe', 'school')
+"""
+
+
+def q_osm_way_lengths(sf_dir: str):
+    """S2/J1 on real-format OSM XML: resolve way->node refs against
+    the node table and emit per-way polyline length (m, rounded int).
+    A way with ANY unresolved ref is dropped — the reference's
+    resolve-or-skip semantics.  The bounded node side broadcasts once
+    (ray.put + per-process cache); at planet scale the same operator
+    is the keyed explode+join (stages/knn.py CompiledSegments
+    build)."""
+    import ray
+
+    from ..sources.osm import read_osm
+    from ..stages.agg import bucketed_group_apply
+    from ..stages.knn import cached_state
+
+    refs = read_osm(OSM_SAMPLE, kind="way_refs")
+    nd = read_osm(OSM_SAMPLE, kind="nodes") \
+        .select_columns(["node_id", "lat", "lon"]).to_pandas()
+    order = np.argsort(nd["node_id"].to_numpy())
+    ref_obj = ray.put((nd["node_id"].to_numpy(np.int64)[order],
+                       nd["lat"].to_numpy(np.float64)[order],
+                       nd["lon"].to_numpy(np.float64)[order]))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        ids_s, la_s, lo_s = cached_state(
+            f"osmnodes-{ref_obj.hex()}", lambda: ray.get(ref_obj))
+        nid = b["node_id"].to_numpy()
+        pos = np.searchsorted(ids_s, nid)
+        pos[pos >= len(ids_s)] = 0
+        ok = ids_s[pos] == nid
+        return pa.table({
+            "way_id": b["way_id"], "seq": b["seq"],
+            "lat": pa.array(la_s[pos]), "lon": pa.array(lo_s[pos]),
+            "ok": pa.array(ok),
+        })
+
+    def way_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "seq"], kind="mergesort")
+        w = g["way_id"].to_numpy(np.int64)
+        la = g["lat"].to_numpy(np.float64)
+        lo = g["lon"].to_numpy(np.float64)
+        ok = g["ok"].to_numpy(bool)
+        same = w[1:] == w[:-1] if len(w) else np.array([], dtype=bool)
+        seg_km = (geo.haversine_km(la[:-1], lo[:-1], la[1:], lo[1:]) * same
+                  if len(w) > 1 else np.array([], dtype=np.float64))
+        starts = np.flatnonzero(np.r_[True, ~same]) if len(w) else \
+            np.array([], dtype=np.int64)
+        n_nodes = np.diff(np.r_[starts, len(w)])
+        all_ok = np.add.reduceat(ok.astype(np.int64), starts) == n_nodes \
+            if len(w) else np.array([], dtype=bool)
+        km = np.add.reduceat(np.r_[seg_km, 0.0], starts) if len(w) else \
+            np.array([], dtype=np.float64)
+        out = pd.DataFrame({
+            "way_id": w[starts],
+            "n_nodes": n_nodes.astype(np.int64),
+            "length_m": np.round(1000.0 * km).astype(np.int64),
+        })
+        return out[all_ok]
+
+    return bucketed_group_apply(
+        refs.map_batches(resolve, batch_format="pyarrow"),
+        ["way_id"], way_bucket)
+
+
+SQL_OSM_WAY_LENGTHS = f"""
+WITH r AS (SELECT CAST(way_id AS BIGINT) AS way_id,
+                  CAST(seq AS BIGINT) AS seq,
+                  CAST(node_id AS BIGINT) AS node_id
+           FROM read_csv('{_OSM_DATA_DIR}/sample_way_refs.csv', header=true)),
+n AS (SELECT CAST(node_id AS BIGINT) AS node_id, lat, lon
+      FROM read_csv('{_OSM_DATA_DIR}/sample_nodes.csv', header=true)),
+j AS (SELECT r.way_id, r.seq, n.lat, n.lon
+      FROM r JOIN n ON n.node_id = r.node_id),
+cnt AS (SELECT way_id, COUNT(*) AS n_refs FROM r GROUP BY 1),
+res AS (SELECT way_id, COUNT(*) AS n_resolved FROM j GROUP BY 1),
+ok AS (SELECT c.way_id, c.n_refs FROM cnt c
+       JOIN res ON res.way_id = c.way_id AND res.n_resolved = c.n_refs),
+seg AS (SELECT a.way_id,
+               {sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')} AS km
+        FROM j a JOIN j b ON b.way_id = a.way_id AND b.seq = a.seq + 1)
+SELECT ok.way_id, CAST(ok.n_refs AS BIGINT) AS n_nodes,
+       CAST(round(1000.0 * COALESCE(SUM(seg.km), 0.0)) AS BIGINT)
+         AS length_m
+FROM ok LEFT JOIN seg ON seg.way_id = ok.way_id
+GROUP BY 1, 2
+"""
+
+
 def prepare_upsert_artifact(sf_dir: str) -> str:
     """Build (or reuse) the old-80% postings artifact for
     q_index_upsert — a FIXTURE, not part of the measured merge: the
@@ -4949,7 +5124,17 @@ def prepare_upsert_artifact(sf_dir: str) -> str:
     import os
     import shutil
 
-    tag = hashlib.md5(f"{sf_dir}|v2".encode()).hexdigest()[:8]
+    # key the cache by a DATA fingerprint too (size + mtime of the
+    # source parquet), not just the path: a regenerated dataset at the
+    # same path must invalidate the artifact (round-4 ADVICE — a stale
+    # artifact fails the oracle looking like an engine bug)
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "missing"
+    tag = hashlib.md5(f"{sf_dir}|{fp}|v2".encode()).hexdigest()[:8]
     art = f"/tmp/graft_upsert_postings_{tag}"
     if not os.path.exists(os.path.join(art, "_SUCCESS")):
         shutil.rmtree(art, ignore_errors=True)
@@ -5060,8 +5245,21 @@ SELECT side, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY side
 # registry
 
 
-def registry():
-    """name -> (ray_fn, oracle_sql | None)"""
+# the driver's correctness gate runs at sf0.01 (task contract); the
+# trained-state oracle SQL below is regenerated for WHATEVER sf_dir the
+# harness passes (round-5 un-pinning: tools/check_oracles.py and the
+# sf-parity tests pass their own sf), so the registry is green at any sf
+ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def registry(sf_dir: str = ORACLE_SF):
+    """name -> (ray_fn, oracle_sql | None).
+
+    sf_dir parameterizes ONLY the trained-state oracle SQL builders
+    (kmeans / PQ / IVF / BPE / SemDeDup) — their VALUES tables inline
+    artifacts retrained from that sf's data by the local reference
+    trainers, bit-identical to the distributed trainers the ray fns
+    use.  The ray callables themselves always take sf_dir per call."""
     return {
         # geospatial core
         "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
@@ -5129,11 +5327,11 @@ def registry():
         "hybrid_search_rrf": (q_hybrid_search_rrf, SQL_HYBRID_RRF),
         "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_PAIRS),
         "ivf_search": (q_ivf_search, SQL_EMBEDDING_KNN),
-        "pq_encode": (q_pq_encode, _pq_encode_sql()),
-        "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
-        "kmeans_assign": (q_kmeans_assign, _kmeans_assign_sql()),
-        "pq_search": (q_pq_search, _pq_search_sql()),
-        "ivfpq_search": (q_ivfpq_search, _pq_search_sql()),
+        "pq_encode": (q_pq_encode, _pq_encode_sql(sf_dir)),
+        "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql(sf_dir)),
+        "kmeans_assign": (q_kmeans_assign, _kmeans_assign_sql(sf_dir)),
+        "pq_search": (q_pq_search, _pq_search_sql(sf_dir)),
+        "ivfpq_search": (q_ivfpq_search, _pq_search_sql(sf_dir)),
         # relational coverage
         "pricing_summary": (q_pricing_summary, SQL_PRICING),
         "pricing_cube": (q_pricing_cube, SQL_PRICING_CUBE),
@@ -5174,8 +5372,8 @@ def registry():
         # training is non-SQL (5 Lloyd iterations), but the trained
         # centroids are inlined as a VALUES table and the assignment is
         # verified row for row (q_ivf_assign docstring)
-        "ivf_assign": (q_ivf_assign, _ivf_assign_sql()),
-        "bpe_encode": (q_bpe_encode, _bpe_sql()),
+        "ivf_assign": (q_ivf_assign, _ivf_assign_sql(sf_dir)),
+        "bpe_encode": (q_bpe_encode, _bpe_sql(sf_dir)),
         "lm_doc_stats": (q_lm_doc_stats, SQL_LM_DOC_STATS),
         "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
         "pack_batches": (q_pack_batches, SQL_PACK_BATCHES),
@@ -5194,4 +5392,7 @@ def registry():
         "image_embed_sums": (q_image_embed_sums, SQL_IMAGE_EMBED_SUMS),
         "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
         "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+        # real-format OSM XML ingestion proof (round-5; fixture input)
+        "osm_poi_extract": (q_osm_poi_extract, SQL_OSM_POI_EXTRACT),
+        "osm_way_lengths": (q_osm_way_lengths, SQL_OSM_WAY_LENGTHS),
     }

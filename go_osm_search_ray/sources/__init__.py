@@ -47,7 +47,11 @@ def read_table_auto(path: str, columns=None, **kwargs):
     lower = path.lower()
     if lower.endswith(".parquet"):
         return rd.read_parquet(path, columns=columns, **kwargs)
-    if lower.endswith(".csv"):
+    if lower.endswith(".osm"):
+        from .osm import read_osm
+
+        ds = read_osm(path, kind=kwargs.pop("kind", "nodes"))
+    elif lower.endswith(".csv"):
         ds = rd.read_csv(path, **kwargs)
     elif lower.endswith(".json") or lower.endswith(".jsonl"):
         ds = rd.read_json(path, **kwargs)

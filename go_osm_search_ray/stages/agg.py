@@ -103,7 +103,14 @@ def ensure_schema(ds, dtypes: dict):
     blocks; feeding one to the next Acero join fails with "No match
     for key field reference", and pandas map functions KeyError on the
     missing columns.  A cheap map_batches re-type (no shuffle) makes
-    chained joins and downstream maps safe at any data size."""
+    chained joins and downstream maps safe at any data size.
+
+    CAST CONTRACT (intentional, round-4 ADVICE): pyarrow's
+    safe-by-default Table.cast RAISES on lossy casts (out-of-range,
+    non-integral float->int) where the old pandas astype silently
+    truncated.  That is the behavior we want on join paths — a stage
+    emitting loosely-typed blocks should fail loudly here, not ship
+    silently corrupted keys into a join."""
     import numpy as np
     import pyarrow as pa
 

@@ -75,23 +75,23 @@ def exact_dedup(ds, id_col="doc_id", text_col="text", normalize: bool = True):
     sort+drop_duplicates per bucket — never a sort over billions of
     hash groups or a per-group Python task (stages/agg.py).
     """
-    import re
+    import pyarrow.compute as pc
 
     from .agg import bucketed_group_apply
 
-    norm_re = re.compile(r"[^a-z0-9]+")
-
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_hash(batch: pa.Table) -> pa.Table:
+        """pyarrow-native (round-5): the full-corpus text column stays
+        a zero-copy arrow buffer; lower + regex-normalize run as RE2
+        kernels and only the per-doc md5 (inherent) touches Python.
+        Output is the slim (text_hash, id) projection."""
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
         if normalize:
-            key = (
-                batch[text_col]
-                .str.lower()
-                .map(lambda s: norm_re.sub(" ", s))
-                .map(md5_hex)
-            )
-        else:
-            key = batch[text_col].map(md5_hex)
-        return pd.DataFrame({"text_hash": key, id_col: batch[id_col]})
+            txt = pc.replace_substring_regex(
+                pc.utf8_lower(txt), "[^a-z0-9]+", " ")
+        keys = pa.array([md5_hex(s) for s in txt.to_pylist()], pa.string())
+        return pa.table({"text_hash": keys, id_col: batch[id_col]})
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -99,7 +99,7 @@ def exact_dedup(ds, id_col="doc_id", text_col="text", normalize: bool = True):
             .drop_duplicates("text_hash", keep="first")
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     return bucketed_group_apply(hashed, ["text_hash"], keep_min)
 
 
@@ -574,54 +574,76 @@ _POW2_63 = np.int64(1) << np.arange(63, dtype=np.int64)
 _KBITS = np.arange(64, dtype=np.uint64)
 
 
-def simhash64_batch(toks: pd.Series) -> np.ndarray:
-    """64-bit SimHash per token list, tf-weighted, vectorized
-    batch-wide: md5 runs ONCE per unique token in the batch; the
-    +/- votes accumulate with one np.add.at scatter; the bit pack
-    mirrors the SQL oracle's v_lo63 - bit63*(2^63-1) - bit63
-    two's-complement form bit-for-bit.  Order-invariant by
-    construction (depends only on the token bag)."""
-    n = len(toks)
+def simhash64_from_flat(codes: np.ndarray, uniques: np.ndarray,
+                        lens: np.ndarray) -> np.ndarray:
+    """64-bit SimHash core over the flat factorized token
+    representation (tf-weighted, vectorized batch-wide): md5 runs
+    ONCE per unique token in the batch; the +/- votes accumulate with
+    one np.add.at scatter; the bit pack mirrors the SQL oracle's
+    v_lo63 - bit63*(2^63-1) - bit63 two's-complement form
+    bit-for-bit.  Order-invariant by construction (depends only on
+    the token bag)."""
+    n = len(lens)
     out = np.zeros(n, dtype=np.int64)
-    lens = toks.str.len().to_numpy(np.int64) if n else np.array([], np.int64)
-    if n and lens.sum():
-        rows = np.repeat(np.arange(n), lens)
-        flat = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
-        tf = (
-            pd.DataFrame({"r": rows, "t": flat})
-            .groupby(["r", "t"], sort=False)
-            .size()
-        )
-        rr = tf.index.get_level_values(0).to_numpy()
-        tt = tf.index.get_level_values(1).to_numpy()
-        cc = tf.to_numpy().astype(np.int64)
-        uniq, inv = np.unique(tt, return_inverse=True)
-        hv = np.array([_hash64(t) for t in uniq], dtype=np.uint64)
-        signs = (
-            2 * ((hv[:, None] >> _KBITS[None, :]) & np.uint64(1)).astype(np.int64)
-            - 1
-        )  # U x 64 in {-1, +1}
-        acc = np.zeros((n, 64), dtype=np.int64)
-        np.add.at(acc, rr, signs[inv] * cc[:, None])
-        bits = acc > 0
-        v_lo = (bits[:, :63].astype(np.int64) * _POW2_63[None, :]).sum(axis=1)
-        b63 = bits[:, 63].astype(np.int64)
-        out = v_lo - b63 * np.int64(9223372036854775807) - b63
+    if codes.size == 0 or uniques.size == 0:
+        return out
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # tf per (row, token): one np.unique over the composite int key —
+    # no pandas groupby over object tokens
+    u_n = np.int64(len(uniques))
+    key = rows * u_n + codes
+    uk, cc = np.unique(key, return_counts=True)
+    rr = (uk // u_n).astype(np.int64)
+    cidx = (uk % u_n).astype(np.int64)
+    cc = cc.astype(np.int64)
+    hv = np.array([_hash64(t) for t in uniques], dtype=np.uint64)
+    bits_u = ((hv[:, None] >> _KBITS[None, :]) & np.uint64(1)).astype(
+        np.int64)  # U x 64 in {0, 1}
+    # vote(row, k) = sum cc * (2*bit - 1) = 2 * sum(cc * bit) - lens:
+    # rr is SORTED (np.unique), so each bit's per-row positive mass is
+    # one reduceat over the run boundaries — ~10x faster than the old
+    # (pairs x 64) np.add.at scatter, which dominated the stage
+    seg = np.flatnonzero(np.r_[True, rr[1:] != rr[:-1]])
+    row_ids = rr[seg]
+    m = len(row_ids)
+    bu = np.ascontiguousarray(bits_u.T)  # 64 x U, contiguous row gathers
+    pos_t = np.empty((64, m), dtype=np.int64)
+    for k in range(64):
+        pos_t[k] = np.add.reduceat(cc * bu[k][cidx], seg)
+    lens_p = lens[row_ids]
+    bits_t = (2 * pos_t - lens_p[None, :]) > 0  # 64 x m
+    v_lo = (bits_t[:63].astype(np.int64) * _POW2_63[:, None]).sum(axis=0)
+    b63 = bits_t[63].astype(np.int64)
+    out[row_ids] = v_lo - b63 * np.int64(9223372036854775807) - b63
     return out
+
+
+def simhash64_batch(toks: pd.Series) -> np.ndarray:
+    """pandas-Series front-end for `simhash64_from_flat` (kept for
+    direct/property-test callers)."""
+    from .text import flatten_tokens
+
+    codes, uniques, lens, _starts = flatten_tokens(toks)
+    return simhash64_from_flat(codes, uniques, lens)
 
 
 def simhash_signatures(ds, id_col="doc_id", text_col="text"):
     """64-bit SimHash over token hashes, weighted by term frequency.
     Returned as int64 (two's complement) for Arrow friendliness.
-    Core math in `simhash64_batch` (property-tested directly)."""
+    pyarrow-native (round-5): tokenize/factorize via arrow kernels
+    (text.tokenize_flat_arrow), vote math in `simhash64_from_flat`
+    (property-tested directly)."""
+    from .text import tokenize_flat_arrow
 
-    def sig(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+    def sig(batch: pa.Table) -> pa.Table:
+        codes, uniques, lens, _ = tokenize_flat_arrow(batch[text_col])
+        return pa.table({
             "doc_id": batch[id_col],
-            "simhash": simhash64_batch(tokenize_series(batch[text_col])),
+            "simhash": pa.array(
+                simhash64_from_flat(codes, uniques, lens), pa.int64()),
         })
 
-    return ds.map_batches(sig, batch_format="pandas")
+    return ds.map_batches(sig, batch_format="pyarrow")
 
 
 def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
@@ -647,14 +669,17 @@ def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
     batch-wide XOR-popcount — no per-group Python loop.  `carry_cols`
     ride along into the output as <col>_a / <col>_b.
 
-    ONE shuffle total (round-4 fuse): a pair found in band b is
-    emitted only if b is its FIRST agreeing band (vectorized mask over
-    the pair's XOR — every agreeing band sees the same two rows, so
-    exactly one band wins), which removes the old (id_a, id_b) dedup
-    shuffle entirely.  With a binding `max_bucket` the rule becomes
-    "emitted iff the first agreeing band's group is under the cap"
-    (previously: any uncapped band) — both are approximations only in
-    capped groups; the uncapped semantics are identical and exact.
+    ONE shuffle total when max_bucket is None (round-4 fuse): a pair
+    found in band b is emitted only if b is its FIRST agreeing band
+    (vectorized mask over the pair's XOR — every agreeing band sees
+    the same two rows, so exactly one band wins), which removes the
+    old (id_a, id_b) dedup shuffle entirely.  With a binding
+    max_bucket the first agreeing band's group may have been CAPPED
+    (dropped before emission), so capped mode emits from every
+    surviving agreeing band and restores the pair-dedup shuffle —
+    bounded by the OUTPUT pair count, not the corpus (round-4 ADVICE
+    recall fix: previously a pair whose first agreeing band was
+    capped vanished even when an uncapped band agreed).
 
     `collapse_count_col`: fuse the distinct-signature collapse into
     the SAME shuffle — identical signatures agree in every band, so
@@ -724,11 +749,20 @@ def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
                ^ m[f"{sig_col}_b"].to_numpy().view(np.uint64))
         ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1) \
                 .sum(axis=1).astype(np.int64)
-        # first agreeing band: the smallest j with a zero band-XOR
-        first = np.full(len(m), n_bands, dtype=np.int64)
-        for j in range(n_bands - 1, -1, -1):
-            first = np.where((xor & masks[j]) == np.uint64(0), j, first)
-        keep = (ham <= max_hamming) & (first == m["band"].to_numpy())
+        keep = ham <= max_hamming
+        if max_bucket is None:
+            # ONE-shuffle fuse: emit only from the FIRST agreeing band
+            # (the smallest j with a zero band-XOR) — exact, since no
+            # group was dropped, so that band's group definitely
+            # emitted the pair
+            first = np.full(len(m), n_bands, dtype=np.int64)
+            for j in range(n_bands - 1, -1, -1):
+                first = np.where((xor & masks[j]) == np.uint64(0), j, first)
+            keep &= first == m["band"].to_numpy()
+        # else: capped mode — a pair's first agreeing band may have
+        # been a capped group (dropped above), so emit from EVERY
+        # surviving agreeing band and dedup pairs in a second (small,
+        # output-sized) shuffle below (round-4 ADVICE recall fix)
         m = m.loc[keep].rename(columns={f"{id_col}_a": "id_a",
                                         f"{id_col}_b": "id_b"})
         m["hamming"] = ham[keep]
@@ -736,9 +770,18 @@ def hamming_dup_pairs(ds, id_col="doc_id", sig_col="simhash",
 
     from .agg import bucketed_group_apply
 
-    return bucketed_group_apply(
+    cand = bucketed_group_apply(
         ds.map_batches(band_rows, batch_format="pandas"),
         ["band", "bucket"], pairs_hash_bucket,
+    )
+    if max_bucket is None:
+        return cand
+    # capped mode: same pair can surface from several uncapped bands
+    # (dup rows carry identical hamming/carry values, so any-first is
+    # deterministic); the dedup shuffle is bounded by the PAIR count
+    return bucketed_group_apply(
+        cand, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]),
     )
 
 

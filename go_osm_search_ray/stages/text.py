@@ -663,6 +663,62 @@ def flatten_tokens(toks: pd.Series):
     return codes, np.asarray(uniques, dtype=object), lens, starts
 
 
+def tokenize_flat_arrow(texts):
+    """Arrow-native `flatten_tokens`: identical (codes, uniques, lens,
+    starts) contract, but lower + normalize + split + factorize all
+    run as pyarrow C++ kernels (RE2 regex, dictionary_encode) instead
+    of pandas' per-row Python regex + pd.factorize over an object
+    array.  This is the round-5 conversion-tax fix for the corpus
+    gates and signature stages: with batch_format="pyarrow" the text
+    column never round-trips through pandas at all.
+
+    Tokenizer equivalence: [a-z0-9]+ runs of lower(text) — every
+    non-token run collapses to one space (RE2 '[^a-z0-9]+' -> ' '),
+    trim, split on ' '.  A row with no tokens yields one '' entry from
+    split; those are stripped and the row's length corrected, so the
+    output matches pandas str.findall exactly (pytest-pinned)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=object),
+             np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.int64))
+    if n == 0:
+        return empty
+    texts = pc.fill_null(texts, "")
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(texts), "[^a-z0-9]+", " "))
+    toks = pc.split_pattern(norm, " ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return empty
+    dic = pc.dictionary_encode(flat)
+    if isinstance(dic, pa.ChunkedArray):
+        dic = dic.combine_chunks()
+    codes = dic.indices.to_numpy().astype(np.int64)
+    uniques = np.asarray(dic.dictionary.to_pandas(), dtype=object)
+    empty_rows = pc.equal(norm, "").to_numpy(zero_copy_only=False)
+    if empty_rows.any():
+        # every '' token comes from exactly one all-empty row (runs
+        # collapsed + trimmed), so drop that code and fix the lengths
+        e = np.nonzero(uniques == "")[0]
+        if len(e):
+            ec = int(e[0])
+            keep = codes != ec
+            codes = codes[keep]
+            codes[codes > ec] -= 1
+            uniques = np.delete(uniques, ec)
+        lens = lens - empty_rows.astype(np.int64)
+    if uniques.size == 0:
+        return (np.array([], dtype=np.int64), np.array([], dtype=object),
+                lens, np.zeros(n, dtype=np.int64))
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return codes, uniques, lens, starts
+
+
 def per_doc_sum(values: np.ndarray, lens: np.ndarray,
                 starts: np.ndarray) -> np.ndarray:
     """Per-document sums of a flat per-token value array via ONE
@@ -821,6 +877,113 @@ def repetition_signals(batch: pd.DataFrame, id_col="doc_id",
                   .groupby(level="d", sort=False).max())
         out.loc[bper.index, "top_bigram_n"] = bper.to_numpy(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native corpus gates (round-5): same math as the pandas
+# versions above (pytest-pinned equal), but the full-corpus text
+# column stays a zero-copy arrow buffer — no arrow->pandas->arrow
+# round-trip per batch on the highest-volume stages.
+
+
+def quality_metrics_arrow(batch, id_col="doc_id", text_col="text"):
+    """pyarrow-native quality_metrics (see the pandas twin above)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text_arr = batch[text_col]
+    codes, uniques, lens, starts = tokenize_flat_arrow(text_arr)
+    n_chars = pc.utf8_length(text_arr).to_numpy().astype(np.int64)
+    alnum_space = pc.count_substring_regex(
+        text_arr, "[a-zA-Z0-9 ]").to_numpy().astype(np.int64)
+    token_chars = pc.count_substring_regex(
+        text_arr, "[a-zA-Z0-9]").to_numpy().astype(np.int64)
+    stop_u = np.isin(uniques, STOPWORDS["en"])
+    stop_hits = per_doc_sum(stop_u[codes].astype(np.int64), lens, starts)
+    return pa.table({
+        "doc_id": batch[id_col],
+        "n_tokens": pa.array(lens, pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "punct_ratio": pa.array(
+            np.round(1.0 - alnum_space / np.maximum(n_chars, 1), 6)),
+        "stopword_ratio": pa.array(
+            np.round(stop_hits / np.maximum(lens, 1).astype(np.float64), 6)),
+        "mean_token_len": pa.array(
+            np.round(token_chars / np.maximum(lens, 1), 6)),
+    })
+
+
+def lang_id_arrow(batch, id_col="doc_id", text_col="text"):
+    """pyarrow-native lang_id (see the pandas twin above)."""
+    import pyarrow as pa
+
+    codes, uniques, lens, starts = tokenize_flat_arrow(batch[text_col])
+    n = batch.num_rows
+    langs = sorted(STOPWORDS)
+    hits = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, l in enumerate(langs):
+        mask_u = np.isin(uniques, STOPWORDS[l])
+        hits[:, j] = per_doc_sum(mask_u[codes].astype(np.int64),
+                                 lens, starts)
+    best = hits.argmax(axis=1)
+    preds = np.where(hits.max(axis=1, initial=0) > 0,
+                     np.asarray(langs, dtype=object)[best], "unknown")
+    return pa.table({"doc_id": batch[id_col],
+                     "pred_lang": pa.array(preds.astype(str))})
+
+
+def token_counts_arrow(batch, id_col="doc_id", text_col="text"):
+    """pyarrow-native token_counts: both token families are ONE RE2
+    count each ('\\S+' runs == len(str.split()); the BPE-ish branches
+    match disjoint char classes, so leftmost-first == findall)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text_arr = batch[text_col]
+    return pa.table({
+        "doc_id": batch[id_col],
+        "ws_tokens": pc.count_substring_regex(
+            text_arr, r"\S+").cast(pa.int64()),
+        "bpe_ish_tokens": pc.count_substring_regex(
+            pc.utf8_lower(text_arr),
+            r"[a-z0-9]+|[^a-z0-9\s]").cast(pa.int64()),
+    })
+
+
+def repetition_signals_arrow(batch, id_col="doc_id", text_col="text"):
+    """pyarrow-native repetition_signals: arrow tokenize/factorize,
+    then the same int-code groupbys over the SLIM flat arrays."""
+    import pyarrow as pa
+
+    codes, uniques, lens, starts = tokenize_flat_arrow(batch[text_col])
+    n = batch.num_rows
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_uni = np.zeros(n, dtype=np.int64)
+    top_bg = np.zeros(n, dtype=np.int64)
+    if codes.size:
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uni = (pd.DataFrame({"d": doc, "w": codes})
+               .groupby(["d", "w"], sort=False).size().reset_index(name="c"))
+        per = uni.groupby("d", sort=False)["c"].agg(["count", "max"])
+        idx = per.index.to_numpy()
+        n_distinct[idx] = per["count"].to_numpy(np.int64)
+        top_uni[idx] = per["max"].to_numpy(np.int64)
+        same = doc[1:] == doc[:-1]
+        if same.any():
+            bg = pd.DataFrame({"d": doc[:-1][same],
+                               "b1": codes[:-1][same],
+                               "b2": codes[1:][same]})
+            bper = (bg.groupby(["d", "b1", "b2"], sort=False).size()
+                      .groupby(level="d", sort=False).max())
+            top_bg[bper.index.to_numpy()] = bper.to_numpy(np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(lens, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "top_unigram_n": pa.array(top_uni, pa.int64()),
+        "top_bigram_n": pa.array(top_bg, pa.int64()),
+        "n_bigrams": pa.array(np.maximum(lens - 1, 0), pa.int64()),
+    })
 
 
 def hash_features(batch: pd.DataFrame, n_buckets: int = 32,

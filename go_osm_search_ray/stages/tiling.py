@@ -213,7 +213,16 @@ def vectorize_tiles(points_ds, res: int = geo.DEFAULT_TILE_RES,
         b["lon1"] = -180.0 + (x + 1) * dlon
         return b[["tile_id", "n", "lat0", "lat1", "lon0", "lon1"]]
 
-    return counts.map_batches(geom, batch_format="pandas")
+    from .agg import ensure_schema
+
+    # the threshold can filter EVERYTHING at small sf — pin the output
+    # schema so an all-empty result keeps its six named columns
+    # (round-5 fix: empty-result schema loss seen at sf0.001)
+    return ensure_schema(
+        counts.map_batches(geom, batch_format="pandas"),
+        {"tile_id": "int64", "n": "int64", "lat0": "float64",
+         "lat1": "float64", "lon0": "float64", "lon1": "float64"},
+    )
 
 
 def rect_overlap_join(a_ds, b_ds, res: int = 4,

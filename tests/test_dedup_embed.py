@@ -389,6 +389,74 @@ class TestEmbeddings:
             assert (int(base_ids[i]), 100000 + i) in pairs
         assert (got["cosine"] >= 0.9).all()
 
+    def test_dup_pairs_auto_switch_matches_lsh(self):
+        """method='auto' wiring: above auto_lsh_min it must take the
+        LSH path — same pairs as an explicit method='lsh' call with
+        the same geometry (deterministic planes)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((60, 24))
+        vecs = np.concatenate([base, base[:8] + 0.001 * rng.standard_normal((8, 24))])
+        df = pd.DataFrame({
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+        })
+        ds = rd.from_pandas(df).repartition(3)
+        got_auto = embed.embedding_dup_pairs(
+            ds, threshold=0.95, auto_lsh_min=10).to_pandas()
+        got_lsh = embed.embedding_dup_pairs(
+            rd.from_pandas(df).repartition(3), threshold=0.95,
+            method="lsh").to_pandas()
+        key = lambda d: set(zip(d["id_a"], d["id_b"]))  # noqa: E731
+        # auto picked LSH (n=68 > 10): auto sizes r by n, so compare
+        # against the planted ground truth both must recover exactly
+        want = {(int(i), int(60 + i)) for i in range(8)}
+        assert key(got_auto) == want
+        assert key(got_lsh) == want
+
+    def test_dup_pairs_default_path_1m_vectors_bounded(self):
+        """Round-5 ask #5: 10^6 vectors through the DEFAULT path must
+        auto-switch to LSH and finish in bounded wall (the exact
+        block-cross plan would be ~10^12/8 matmul cells).  Planted
+        near-identical dups (cosine ~0.999999) must all be recovered;
+        every emitted pair passes the exact in-bucket verify."""
+        import time
+
+        import ray.data as rd
+
+        from conftest import perf_gate, skip_if_busy
+
+        skip_if_busy()
+        n, dim, planted = 1_000_000, 32, 20
+
+        def emb_of(ids: np.ndarray) -> np.ndarray:
+            i = ids[:, None].astype(np.float64)
+            j = np.arange(dim)[None, :].astype(np.float64)
+            x = np.sin(i * 12.9898 + (j + 1.0) * 78.233) * 43758.5453
+            return x - np.floor(x) - 0.5
+
+        def gen(b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy()
+            is_dup = ids >= n - planted
+            base = np.where(is_dup, ids - (n - planted), ids)
+            v = emb_of(base) + is_dup[:, None] * 0.001 * emb_of(ids + 7_777_777)
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(v.tolist(), pa.list_(pa.float64())),
+            })
+
+        ds = rd.range(n, override_num_blocks=32).map_batches(
+            gen, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        got = embed.embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+        wall = time.perf_counter() - t0
+        perf_gate(wall < 300, f"1M-vector default dup-pairs took {wall:.0f}s")
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        for t in range(planted):
+            assert (t, n - planted + t) in pairs, t
+        assert (got["cosine"] >= 0.95).all()
+
     def test_ivf_assign_buckets(self):
         import ray.data as rd
 
@@ -603,3 +671,41 @@ class TestIncrementalDedup:
         k1b = dedup.incremental_exact_dedup(
             state, rd.from_pandas(e1).repartition(3), 1).to_pandas()
         assert sorted(k1b["doc_id"]) == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCappedBandRecall:
+    def test_pair_survives_capped_first_band(self):
+        """Round-4 ADVICE: with a binding max_bucket, a pair whose
+        FIRST agreeing band lands in a capped (over-full) group must
+        still be emitted from a later uncapped agreeing band — and
+        exactly once (dedup shuffle)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(4)
+        n_fill = 20
+        # bands (n_bands=4) are 16-bit; band 0 = low 16 bits
+        pair_hi = np.int64(0x0123_4567_89AB) << np.int64(16)
+        sig_a = pair_hi          # band0 = 0, bands 1-3 shared
+        sig_b = pair_hi | (np.int64(1) << np.int64(63))  # hamming 1, band-3 flip
+        fills = (rng.integers(1, 1 << 40, n_fill, dtype=np.int64)
+                 << np.int64(20))  # band0 = 0 too; high bands distinct
+        fills = np.unique(fills)[:n_fill]
+        df = pd.DataFrame({
+            "doc_id": np.arange(2 + len(fills), dtype=np.int64),
+            "simhash": np.concatenate([[sig_a, sig_b], fills]),
+        })
+        ds = rd.from_pandas(df).repartition(3)
+        got = dedup.hamming_dup_pairs(
+            ds, id_col="doc_id", sig_col="simhash", max_hamming=3,
+            n_bands=4, max_bucket=8).to_pandas()
+        pairs = list(zip(got["id_a"], got["id_b"]))
+        # the planted pair survives despite its first agreeing band
+        # (band 0, 22-row group > cap 8) being dropped, and appears once
+        assert pairs.count((0, 1)) == 1
+        # uncapped semantics unchanged: no-cap run finds it too
+        got2 = dedup.hamming_dup_pairs(
+            rd.from_pandas(df).repartition(3), id_col="doc_id",
+            sig_col="simhash", max_hamming=3, n_bands=4,
+            max_bucket=None).to_pandas()
+        assert list(zip(got2["id_a"], got2["id_b"])).count((0, 1)) == 1

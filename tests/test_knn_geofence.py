@@ -5,6 +5,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+from conftest import perf_gate  # noqa: E402
+
 from go_osm_search_ray import geo, synth
 from go_osm_search_ray.stages import geofence, knn
 
@@ -297,7 +299,7 @@ class TestGeofence:
         assert (first["old_lat"] == geofence.SENTINEL).all()
         assert (second["old_lat"] == 0.0).all()
         assert (second["old_lon"] == 0.0).all()
-        assert wall < 60, f"lag took {wall:.0f}s for 100k points"
+        perf_gate(wall < 60, f"lag took {wall:.0f}s for 100k points")
 
     def test_epoch_state_checkpoint(self):
         import ray.data as rd
@@ -666,7 +668,7 @@ class TestFunnelScale:
                            steps=["view", "click", "purchase"],
                            horizon_us=3_600_000_000).to_pandas()
         wall = time.time() - t0
-        assert wall < 60, f"funnel took {wall:.0f}s for 100k users"
+        perf_gate(wall < 60, f"funnel took {wall:.0f}s for 100k users")
         assert len(out) == df["user_id"].nunique()
         assert set(out["steps_completed"].unique()) <= {0, 1, 2, 3}
         # spot-check 50 users against the greedy per-user rule
@@ -818,7 +820,7 @@ class TestKnnCellScale:
             ).to_pandas()
         )
         wall = time.perf_counter() - t0
-        assert wall < 300  # bounded: no per-query task dispatch cliff
+        perf_gate(wall < 300, f"{wall:.0f}s")  # bounded: no per-query task dispatch cliff
         # spot-exact vs brute force
         p_lat = points["lat"].to_numpy()
         p_lon = points["lon"].to_numpy()
@@ -851,6 +853,9 @@ class TestKnnCellScale:
 
         from go_osm_search_ray import geo
 
+        from conftest import skip_if_busy
+
+        skip_if_busy()
         rng = np.random.default_rng(17)
         n_p, n_q = 1500, 100_000
         # everything inside a ~0.5-degree box -> one res-5 cell (plus
@@ -880,7 +885,7 @@ class TestKnnCellScale:
             ).to_pandas()
         )
         wall = time.perf_counter() - t0
-        assert wall < 120, f"hot cell took {wall:.1f}s"
+        perf_gate(wall < 120, f"hot cell took {wall:.1f}s")
         p_id = points["point_id"].to_numpy()
         by_q = {qid: g for qid, g in got.groupby("query_id")}
         for qid in rng.choice(n_q, 20, replace=False):

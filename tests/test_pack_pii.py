@@ -5,6 +5,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from conftest import perf_gate  # noqa: E402
+
 
 def test_keyed_prefix_sum_matches_window(ray_session):
     import ray
@@ -112,7 +114,7 @@ def test_keyed_prefix_sum_scale_many_keys(ray_session):
     got = keyed_prefix_sum(ray.data.from_pandas(df).repartition(16),
                            "k", "seq", "v", range_size=65536).to_pandas()
     wall = time.perf_counter() - t0
-    assert wall < 120  # the cliff shape was ~25s per 100k groups
+    perf_gate(wall < 120, f"{wall:.0f}s")  # the cliff shape was ~25s per 100k groups
     assert len(got) == n
     # spot-exact: a few keys against the pandas window
     exp = df.sort_values(["k", "seq"])

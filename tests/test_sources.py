@@ -88,3 +88,59 @@ class TestStageRegistry:
             stage.resolve_scoring("pagerank")
         stage.register_stage("score:custom", lambda b: b)
         assert stage.resolve_scoring("custom") == "custom"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOsmXml:
+    """Round-5 ask #8: real-format OSM XML ingestion — the reference's
+    parse_osm.go reader semantics (entity scan, tag extraction,
+    way->node ref resolution) proven against the checked-in extract's
+    CSV ground truth."""
+
+    OSM = "/root/repo/tests/data/sample.osm"
+    NODES_CSV = "/root/repo/tests/data/sample_nodes.csv"
+    REFS_CSV = "/root/repo/tests/data/sample_way_refs.csv"
+
+    def test_nodes_match_csv_truth(self):
+        from go_osm_search_ray.sources.osm import read_osm
+
+        got = read_osm(self.OSM, kind="nodes").to_pandas() \
+            .sort_values("node_id").reset_index(drop=True)
+        want = pd.read_csv(self.NODES_CSV, keep_default_na=False) \
+            .sort_values("node_id").reset_index(drop=True)
+        assert len(got) == len(want) == 3000
+        np.testing.assert_array_equal(got["node_id"], want["node_id"])
+        np.testing.assert_array_equal(got["lat"], want["lat"])
+        np.testing.assert_array_equal(got["lon"], want["lon"])
+        assert (got["amenity"] == want["amenity"].astype(str)).all()
+        # entity escapes + unicode names round-trip
+        assert (got["name"] == want["name"].astype(str)).all()
+        assert got["name"].str.contains("& Co").any()
+        assert got["name"].str.contains("Σigma").any()
+
+    def test_way_refs_and_dispatch(self):
+        from go_osm_search_ray.sources import read_table_auto
+        from go_osm_search_ray.sources.osm import read_osm
+
+        got = read_osm(self.OSM, kind="way_refs").to_pandas() \
+            .sort_values(["way_id", "seq"]).reset_index(drop=True)
+        want = pd.read_csv(self.REFS_CSV) \
+            .sort_values(["way_id", "seq"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # .osm dispatches through read_table_auto with column pruning
+        auto = read_table_auto(self.OSM, columns=["node_id", "lat"])
+        assert auto.schema().names == ["node_id", "lat"]
+
+    def test_way_lengths_drop_unresolved(self):
+        """S2 resolve-or-skip: every way with a dangling ref (planted
+        every 57th way) is excluded; resolved lengths positive."""
+        from go_osm_search_ray.pipelines.queries import q_osm_way_lengths
+
+        out = q_osm_way_lengths("unused").to_pandas()
+        refs = pd.read_csv(self.REFS_CSV)
+        nodes = set(pd.read_csv(self.NODES_CSV)["node_id"])
+        dangling = set(refs.loc[~refs["node_id"].isin(nodes), "way_id"])
+        assert len(dangling) > 0
+        assert not (set(out["way_id"]) & dangling)
+        assert len(out) == refs["way_id"].nunique() - len(dangling)
+        assert (out["length_m"] > 0).all()

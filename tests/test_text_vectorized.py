@@ -10,6 +10,8 @@ import pytest
 
 from go_osm_search_ray.stages import text
 
+from conftest import perf_gate  # noqa: E402
+
 
 def _lambda_quality(batch: pd.DataFrame) -> pd.DataFrame:
     """The pre-round-4 per-row reference implementation."""
@@ -79,7 +81,15 @@ def test_quality_vectorized_speedup_1m_docs():
     token length — the code the round-3 verdict flagged as per-row
     Python) must be >=5x the lambda path.  Both paths tokenize the
     same way, so the tokenizer is excluded from the measurement — the
-    comparison is the replaced per-doc statistics only."""
+    comparison is the replaced per-doc statistics only.
+
+    Loadavg-guarded (round-5): the vectorized path is memory-bandwidth
+    bound and degrades disproportionately under a concurrent
+    full-width job, so the ratio gate skips on a busy host instead of
+    measuring the neighbors."""
+    from conftest import perf_gate, skip_if_busy
+
+    skip_if_busy()
     batch = _corpus(1_000_000)
     toks = text.tokenize_series(batch["text"])
     en = set(text.STOPWORDS["en"])
@@ -104,8 +114,8 @@ def test_quality_vectorized_speedup_1m_docs():
     assert (stop_l.to_numpy() == stop_v).all()
     nz = lens > 0
     assert np.allclose(mean_l.to_numpy()[nz], mean_v[nz])
-    assert fast * 5 <= slow, (
-        f"vectorized {fast:.2f}s vs lambda {slow:.2f}s — < 5x")
+    perf_gate(fast * 5 <= slow,
+              f"vectorized {fast:.2f}s vs lambda {slow:.2f}s — < 5x")
 
 
 def test_quality_metrics_end_to_end_faster_1m_docs():
@@ -120,4 +130,109 @@ def test_quality_metrics_end_to_end_faster_1m_docs():
     t0 = time.perf_counter()
     _lambda_quality(sl)
     slow = (time.perf_counter() - t0) * 5
-    assert fast < slow, f"end-to-end {fast:.2f}s vs lambda(est) {slow:.2f}s"
+    perf_gate(fast < slow, f"end-to-end {fast:.2f}s vs lambda(est) {slow:.2f}s")
+
+
+# ---------------------------------------------------------------------------
+# round-5: arrow-native corpus gates (conversion-tax removal) must be
+# value-identical to the pandas twins and measurably faster end to end
+# including the arrow<->pandas block conversions they replace.
+
+
+def _arrow_corpus(n_docs: int, seed: int = 5):
+    import pyarrow as pa
+
+    df = _corpus(n_docs, seed)
+    return df, pa.table({"doc_id": pa.array(df["doc_id"]),
+                         "text": pa.array(df["text"].tolist())})
+
+
+def test_arrow_gates_match_pandas_twins():
+    import pyarrow as pa
+
+    df, tb = _arrow_corpus(4000)
+    df.loc[0, "text"] = ""
+    df.loc[1, "text"] = "?!  .."
+    tb = pa.table({"doc_id": pa.array(df["doc_id"]),
+                   "text": pa.array(df["text"].tolist())})
+    for pd_fn, ar_fn in [
+        (text.quality_metrics, text.quality_metrics_arrow),
+        (text.lang_id, text.lang_id_arrow),
+        (text.token_counts, text.token_counts_arrow),
+        (text.repetition_signals, text.repetition_signals_arrow),
+    ]:
+        want = pd_fn(df).reset_index(drop=True)
+        got = ar_fn(tb).to_pandas()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tokenize_flat_arrow_matches_flatten_tokens():
+    import pyarrow as pa
+
+    df, tb = _arrow_corpus(3000, seed=9)
+    c1, u1, l1, s1 = text.flatten_tokens(text.tokenize_series(df["text"]))
+    c2, u2, l2, s2 = text.tokenize_flat_arrow(tb["text"])
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(s1, s2)
+    # code spaces differ (factorize vs dictionary order); the decoded
+    # token streams must be identical
+    np.testing.assert_array_equal(u1[c1], u2[c2])
+
+
+def test_arrow_gate_conversion_tax_removed_1m_docs():
+    """Round-5 ask #7: the arrow-native gate (including its share of
+    block handling) must beat the old pandas path INCLUDING the
+    arrow->pandas->arrow conversions that path forces on every block,
+    by >= 1.2x at 10^6 docs."""
+    import time
+
+    import pyarrow as pa
+
+    from conftest import perf_gate, skip_if_busy
+
+    skip_if_busy()
+    df, tb = _arrow_corpus(1_000_000)
+
+    t0 = time.perf_counter()
+    out_a = text.quality_metrics_arrow(tb)
+    fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pdf = tb.to_pandas()                      # the per-block tax
+    out_p = pa.Table.from_pandas(text.quality_metrics(pdf))
+    slow = time.perf_counter() - t0
+
+    pd.testing.assert_frame_equal(out_a.to_pandas(),
+                                  out_p.to_pandas(), check_dtype=False)
+    perf_gate(fast * 1.2 <= slow,
+              f"arrow gate {fast:.2f}s vs pandas-path {slow:.2f}s — < 1.2x")
+
+
+def test_arrow_simhash_stage_matches_and_faster_1m_docs():
+    """simhash_signatures' arrow stage: value-identical to the pandas
+    tokenize path, and the tokenize+factorize core >= 1.2x faster
+    including the conversion tax."""
+    import time
+
+    import pyarrow as pa
+
+    from go_osm_search_ray.stages import dedup
+
+    from conftest import perf_gate, skip_if_busy
+
+    skip_if_busy()
+    df, tb = _arrow_corpus(1_000_000, seed=7)
+
+    t0 = time.perf_counter()
+    c2, u2, l2, _ = text.tokenize_flat_arrow(tb["text"])
+    sig_a = dedup.simhash64_from_flat(c2, u2, l2)
+    fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pdf = tb.to_pandas()
+    sig_p = dedup.simhash64_batch(text.tokenize_series(pdf["text"]))
+    slow = time.perf_counter() - t0
+
+    np.testing.assert_array_equal(sig_a, sig_p)
+    perf_gate(fast * 1.2 <= slow,
+              f"arrow simhash {fast:.2f}s vs pandas path {slow:.2f}s — < 1.2x")

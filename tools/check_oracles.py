@@ -58,7 +58,7 @@ def main():
     from go_osm_search_ray.pipelines import queries as q
 
     failures = []
-    for name, (fn, sql) in q.registry().items():
+    for name, (fn, sql) in q.registry(sf).items():
         if only and name not in only:
             continue
         import time
