@@ -95,6 +95,82 @@ def png_decode(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3)
 
 
+def png_decode_batch(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    w: int,
+    h: int,
+    out: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode n same-size PNGs produced by :func:`png_encode` (exactly
+    SIG|IHDR|IDAT|IEND, filter 0) laid out in one uint8 buffer.
+
+    The per-image chunk walk is replaced by ONE vectorized fixed-layout
+    validation over the whole batch (fancy-index gathers at the known
+    chunk offsets), and every inflate writes straight into a
+    caller-owned reusable buffer — the per-batch MB-scale allocations
+    this removes are the page-fault traffic BASELINE.md measured as the
+    non-scaling resource past ~8 workers.  Per-image cost collapses to
+    the zlib call itself.
+
+    Returns ``(pixels, out)`` where pixels is a read-only
+    (n, h, w, 3) uint8 view into ``out`` (pass ``out`` back in on the
+    next batch to reuse it).  Raises ValueError/NotImplementedError if
+    any blob deviates from the fixed layout — callers fall back to the
+    per-image :func:`png_decode`.
+    """
+    s = np.ascontiguousarray(starts, dtype=np.int64)
+    e = np.ascontiguousarray(ends, dtype=np.int64)
+    n = len(s)
+    row = 1 + 3 * w
+    L = h * row
+    if n == 0:
+        empty = np.empty((0, h, w, 3), dtype=np.uint8)
+        return empty, (out if out is not None else np.empty(0, np.uint8))
+
+    def be32(off: int) -> np.ndarray:
+        return (
+            (data[s + off].astype(np.int64) << 24)
+            | (data[s + off + 1].astype(np.int64) << 16)
+            | (data[s + off + 2].astype(np.int64) << 8)
+            | data[s + off + 3].astype(np.int64)
+        )
+
+    sig = np.frombuffer(_PNG_SIG, np.uint8)
+    tags = np.frombuffer(b"IHDRIDAT", np.uint8)
+    for j in range(8):
+        if not (data[s + j] == sig[j]).all():
+            raise ValueError("not a PNG (batch)")
+        if not (data[s + (12 + j if j < 4 else 33 + j)] == tags[j]).all():
+            raise ValueError("chunk layout not SIG|IHDR|IDAT (batch)")
+    if not ((data[s + 24] == 8) & (data[s + 25] == 2)).all():
+        raise NotImplementedError("only 8-bit RGB supported (batch)")
+    if not (be32(16) == w).all() or not (be32(20) == h).all():
+        raise ValueError("IHDR size != declared w/h (batch)")
+    ln = be32(33)
+    if not (e - s == ln + 57).all():
+        raise ValueError("blob length != fixed layout (batch)")
+
+    if out is None or out.size < n * L:
+        out = np.empty(n * L, dtype=np.uint8)
+    mv_in = memoryview(data)
+    mv_out = memoryview(out)[: n * L]
+    a = (s + 41).tolist()
+    b = (s + 41 + ln).tolist()
+    dec = zlib.decompress
+    for i in range(n):
+        # slice-assign from the returned bytes: a length mismatch (bad
+        # stream) raises ValueError -> caller falls back
+        mv_out[i * L : (i + 1) * L] = dec(mv_in[a[i] : b[i]])
+    raw = out[: n * L].reshape(n, h, row)
+    if raw[:, :, 0].any():
+        raise NotImplementedError("only filter 0 supported")
+    px = raw[:, :, 1:].reshape(n, h, w, 3)
+    px.flags.writeable = False
+    return px, out
+
+
 def jpeg_encode(rgb: np.ndarray) -> bytes:
     """DETERMINISTIC FAKE lossy codec (see module docstring)."""
     q = (rgb.astype(np.int32) // JPEG_QUANT_STEP * JPEG_QUANT_STEP + JPEG_QUANT_STEP // 2).clip(

@@ -64,6 +64,73 @@ class DecodeStats:
         )
 
 
+def decode_batch_uniform(
+    batch: pa.Table, raw_buf: np.ndarray | None
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Batched fixed-layout decode for a batch whose rows share
+    (w, h, fmt) — the overwhelmingly common case in a real corpus
+    shard and the always case for the synthetic flagship table.
+
+    Reads the Arrow binary column's offsets/data buffers directly
+    (zero-copy; no ``to_pylist`` bytes materialization) and inflates
+    every blob into ``raw_buf`` (caller-owned, reused across batches).
+    Returns ``(pixels, raw_buf)`` with pixels a read-only
+    (n, h, w, 3) uint8 view, or ``(None, raw_buf)`` when the batch is
+    mixed / non-uniform / not our encoder's layout — callers fall back
+    to the per-image ``_decode`` loop.
+    """
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return None, raw_buf
+    wmm = pc.min_max(batch["w"]).as_py()
+    hmm = pc.min_max(batch["h"]).as_py()
+    if wmm["min"] != wmm["max"] or hmm["min"] != hmm["max"]:
+        return None, raw_buf
+    fmts = set(pc.unique(batch["fmt"]).to_pylist())
+    if not fmts <= {"png", "jpeg"}:
+        return None, raw_buf
+    w, h = wmm["min"], hmm["min"]
+
+    arr = batch["bytes"].combine_chunks()
+    if arr.null_count:
+        return None, raw_buf
+    bufs = arr.buffers()
+    if bufs[2] is None:
+        return None, raw_buf
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1]
+    dat = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts = off[:-1].astype(np.int64)
+    ends = off[1:].astype(np.int64)
+    if "jpeg" in fmts:
+        # fake-lossy container: 8-byte magic prefix, then a real PNG
+        # (the quantization happened at encode time) — so a MIXED
+        # png/jpeg batch still decodes in one batched pass with a
+        # per-row prefix offset
+        is_j = pc.equal(batch["fmt"], "jpeg").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        if ((ends - starts) < 57 + 8 * is_j).any():
+            return None, raw_buf
+        js = starts[is_j]
+        magic = np.frombuffer(b"FAKEJPG0", np.uint8)
+        for j in range(8):
+            if not (dat[js + j] == magic[j]).all():
+                return None, raw_buf
+        starts = starts + 8 * is_j
+    elif ((ends - starts) < 57).any():
+        return None, raw_buf
+    try:
+        px, raw_buf = codecs.png_decode_batch(
+            dat, starts, ends, w, h, out=raw_buf
+        )
+    except (ValueError, NotImplementedError):
+        return None, raw_buf
+    return px, raw_buf
+
+
 def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
     ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
     xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
@@ -149,22 +216,67 @@ class AverageHash:
     """8x8 grayscale average hash -> int64 column `ahash` (a real
     perceptual hash; near-dup images collide).
 
-    Decode is per-image (zlib); everything after is vectorized across
-    the batch: same-sized images are stacked once, grayscale/threshold/
-    bit-packing run as whole-batch numpy ops."""
+    Uniform batches (shared w/h/fmt — the flagship case) take the
+    fully-batched path: one vectorized fixed-layout PNG parse, every
+    inflate into a REUSED per-actor buffer, grayscale/threshold/packbits
+    as whole-batch numpy ops with ``out=`` into reused buffers.  The
+    MB-scale per-batch allocations this removes are the page-fault
+    traffic that BASELINE.md measured as the non-scaling resource past
+    ~8 workers.  Mixed batches fall back to the per-image decode."""
 
     _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        for k in ("_raw", "_gray", "_bits"):
+            d.pop(k, None)
+        return d
+
+    def _hash_flat(self, flat: np.ndarray) -> np.ndarray:
+        """(n, 64) grayscale -> uint64 hashes (bit i weighted 2^i,
+        identical to the POW2 dot product, via packbits)."""
+        n = len(flat)
+        bits = getattr(self, "_bits", None)
+        if bits is None or bits.shape[0] < n:
+            bits = self._bits = np.empty(
+                (max(n, 4096), 64), dtype=np.bool_
+            )
+        np.greater(flat, flat.mean(axis=1, keepdims=True), out=bits[:n])
+        return (
+            np.packbits(bits[:n], axis=1, bitorder="little")
+            .view(np.uint64)
+            .ravel()
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        px, raw = decode_batch_uniform(batch, getattr(self, "_raw", None))
+        self._raw = raw
+        if px is not None:
+            h, w = px.shape[1:3]
+            if (h, w) != (8, 8):
+                ys = (np.arange(8) * h // 8).clip(0, h - 1)
+                xs = (np.arange(8) * w // 8).clip(0, w - 1)
+                px = px[:, ys[:, None], xs]  # same picks as _resize_nn
+            gray = getattr(self, "_gray", None)
+            if gray is None or gray.shape[0] < n:
+                gray = self._gray = np.empty(
+                    (max(n, 4096), 64), dtype=np.float32
+                )
+            flat = gray[:n]
+            # channel sum on the strided view directly (no contiguous
+            # copy of the pixel block), accumulated straight into the
+            # reused f32 buffer
+            px.sum(axis=3, dtype=np.float32, out=flat.reshape(n, 8, 8))
+            flat /= 3  # f32 sum / 3 == .astype(f32).mean(axis=-1) bitwise
+            vals = self._hash_flat(flat)
+            return batch.append_column(
+                "ahash", pa.array(vals.astype(np.int64), pa.int64())
+            )
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         imgs = [_decode(blobs[i], fmts[i]) for i in range(n)]
         if n and all(im.shape == (8, 8, 3) for im in imgs):
-            # uniform 8x8 fast path: ONE stacked allocation + batch-wide
-            # grayscale (vs n tiny mean/resize allocations per image —
-            # allocation churn is the measured high-worker-count
-            # bottleneck of this stage)
             flat = (
                 np.stack(imgs).astype(np.float32).mean(axis=3).reshape(n, 64)
             )

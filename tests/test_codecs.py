@@ -142,3 +142,106 @@ class TestMultiFrameAndPCM:
             assert out["peak"][i] == np.abs(s).max()
             zc = ((s[:-1] < 0) != (s[1:] < 0)).sum()
             assert out["zero_crossings"][i] == zc
+
+
+class TestBatchedDecode:
+    """png_decode_batch / decode_batch_uniform (round-5): the batched
+    fixed-layout decode must be pixel-identical to the per-image codec
+    on every layout it accepts, and cleanly refuse everything else."""
+
+    def _table(self, shapes_fmts, seed=3):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(seed)
+        rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+                "caption": []}
+        for i, (h, w, fmt) in enumerate(shapes_fmts):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            rows["image_id"].append(f"im{i}")
+            rows["bytes"].append(codecs.encode(img, fmt))
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append(fmt)
+            rows["caption"].append(f"cap {i}")
+        return pa.table({
+            "image_id": pa.array(rows["image_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "fmt": pa.array(rows["fmt"]),
+            "caption": pa.array(rows["caption"]),
+        })
+
+    def test_uniform_and_mixed_fmt_pixels_match(self):
+        from go_osm_search_ray.stages.images import decode_batch_uniform
+
+        for fmts in (["png"] * 6, ["jpeg"] * 6, ["png", "jpeg"] * 3):
+            t = self._table([(8, 8, f) for f in fmts])
+            px, buf = decode_batch_uniform(t, None)
+            assert px is not None and px.shape == (6, 8, 8, 3)
+            assert not px.flags.writeable
+            for i in range(6):
+                want = codecs.decode(t["bytes"][i].as_py(),
+                                     t["fmt"][i].as_py())
+                np.testing.assert_array_equal(px[i], want)
+
+    def test_non_8x8_uniform(self):
+        from go_osm_search_ray.stages.images import decode_batch_uniform
+
+        t = self._table([(5, 11, "png")] * 4)
+        px, _ = decode_batch_uniform(t, None)
+        assert px is not None and px.shape == (4, 5, 11, 3)
+        for i in range(4):
+            np.testing.assert_array_equal(
+                px[i], codecs.decode(t["bytes"][i].as_py(), "png"))
+
+    def test_mixed_sizes_fall_back(self):
+        from go_osm_search_ray.stages.images import decode_batch_uniform
+
+        t = self._table([(8, 8, "png"), (4, 4, "png")])
+        px, _ = decode_batch_uniform(t, None)
+        assert px is None
+
+    def test_corrupt_blob_falls_back(self):
+        import pyarrow as pa
+
+        from go_osm_search_ray.stages.images import decode_batch_uniform
+
+        t = self._table([(8, 8, "png")] * 3)
+        bad = t["bytes"].to_pylist()
+        bad[1] = b"\x89PNG" + bad[1][4:][::-1]
+        t = t.set_column(t.column_names.index("bytes"), "bytes",
+                         pa.array(bad, pa.binary()))
+        px, _ = decode_batch_uniform(t, None)
+        assert px is None
+
+    def test_buffer_reuse_and_slice_offset(self):
+        from go_osm_search_ray.stages.images import decode_batch_uniform
+
+        t = self._table([(8, 8, "png")] * 10)
+        px1, buf = decode_batch_uniform(t, None)
+        sl = t.slice(4, 3)
+        px2, buf2 = decode_batch_uniform(sl, buf)
+        assert buf2 is buf  # reused, not reallocated
+        for i in range(3):
+            np.testing.assert_array_equal(px2[i], px1[4 + i].copy())
+
+    def test_averagehash_fast_equals_fallback(self):
+        from go_osm_search_ray.stages.images import AverageHash
+
+        t = self._table([(8, 8, f) for f in ("png", "jpeg") for _ in range(3)])
+        fast = AverageHash()(t)["ahash"].to_numpy()
+        # force the per-image fallback by de-uniforming the metadata view
+        t2 = self._table([(16, 12, "png")] * 4 + [(16, 12, "jpeg")] * 2)
+        fast2 = AverageHash()(t2)["ahash"].to_numpy()
+        ah = AverageHash()
+        import go_osm_search_ray.stages.images as im_mod
+        orig = im_mod.decode_batch_uniform
+        im_mod.decode_batch_uniform = lambda b, r: (None, r)
+        try:
+            slow = ah(t)["ahash"].to_numpy()
+            slow2 = ah(t2)["ahash"].to_numpy()
+        finally:
+            im_mod.decode_batch_uniform = orig
+        np.testing.assert_array_equal(fast, slow)
+        np.testing.assert_array_equal(fast2, slow2)
