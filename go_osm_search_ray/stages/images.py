@@ -42,7 +42,26 @@ def _decode(data: bytes, fmt: str) -> np.ndarray:
 class DecodeStats:
     """Per-image pixel stats; `decode_ok` flags undecodable payloads."""
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_raw", None)
+        return d
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        px, self._raw = decode_batch_uniform(batch, getattr(self, "_raw", None))
+        if px is not None:
+            n = batch.num_rows
+            flat = px.reshape(n, -1)
+            m = flat.mean(axis=1)
+            s = flat.std(axis=1)
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "mean_pixel": pa.array(m, pa.float64()),
+                    "std_pixel": pa.array(s, pa.float64()),
+                    "decode_ok": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+                }
+            )
         means, stds, ok = [], [], []
         for b, f in zip(batch["bytes"], batch["fmt"]):
             try:
@@ -143,14 +162,23 @@ class DecodeSums:
     engines; integer sums cannot).  decode runs through the REAL codec;
     the SQL oracle reproduces the pixel math without ever decoding."""
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_raw", None)
+        return d
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
         n = batch.num_rows
-        sums = np.zeros((n, 3), dtype=np.int64)
-        for i in range(n):
-            img = _decode(blobs[i], fmts[i]).astype(np.int64)
-            sums[i] = img.sum(axis=(0, 1))
+        px, self._raw = decode_batch_uniform(batch, getattr(self, "_raw", None))
+        if px is not None:
+            sums = px.sum(axis=(1, 2), dtype=np.int64)
+        else:
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            sums = np.zeros((n, 3), dtype=np.int64)
+            for i in range(n):
+                img = _decode(blobs[i], fmts[i]).astype(np.int64)
+                sums[i] = img.sum(axis=(0, 1))
         return pa.table(
             {
                 "image_id": batch["image_id"],
@@ -170,18 +198,32 @@ class AverageHashInt:
 
     _POW2_63 = (np.int64(1) << np.arange(63, dtype=np.int64))
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_raw", None)
+        return d
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
         n = batch.num_rows
-        imgs = [_decode(blobs[i], fmts[i]) for i in range(n)]
-        if n and all(im.shape == (8, 8, 3) for im in imgs):
-            g3 = np.stack(imgs).astype(np.int64).sum(axis=3).reshape(n, 64)
+        px, self._raw = decode_batch_uniform(batch, getattr(self, "_raw", None))
+        if px is not None:
+            h, w = px.shape[1:3]
+            if (h, w) != (8, 8):
+                ys = (np.arange(8) * h // 8).clip(0, h - 1)
+                xs = (np.arange(8) * w // 8).clip(0, w - 1)
+                px = px[:, ys[:, None], xs]  # same picks as _resize_nn
+            g3 = px.sum(axis=3, dtype=np.int64).reshape(n, 64)
         else:
-            g3 = np.empty((n, 64), dtype=np.int64)
-            for i, img in enumerate(imgs):
-                small = _resize_nn(img.astype(np.int64), 8, 8)
-                g3[i] = small.sum(axis=2).reshape(64)
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            imgs = [_decode(blobs[i], fmts[i]) for i in range(n)]
+            if n and all(im.shape == (8, 8, 3) for im in imgs):
+                g3 = np.stack(imgs).astype(np.int64).sum(axis=3).reshape(n, 64)
+            else:
+                g3 = np.empty((n, 64), dtype=np.int64)
+                for i, img in enumerate(imgs):
+                    small = _resize_nn(img.astype(np.int64), 8, 8)
+                    g3[i] = small.sum(axis=2).reshape(64)
         total = g3.sum(axis=1, keepdims=True)
         bits = (64 * g3) > total
         v_lo = (bits[:, :63].astype(np.int64) * self._POW2_63[None, :]).sum(axis=1)
@@ -305,8 +347,20 @@ class EdgeEnergy:
     the two difference sums run batch-wide (the AverageHashInt
     pattern)."""
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_raw", None)
+        return d
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        px, self._raw = decode_batch_uniform(batch, getattr(self, "_raw", None))
+        if px is not None:
+            s = px.sum(axis=3, dtype=np.int64)
+            e = (np.abs(np.diff(s, axis=2)).sum(axis=(1, 2))
+                 + np.abs(np.diff(s, axis=1)).sum(axis=(1, 2)))
+            return batch.append_column(
+                "edge_energy", pa.array(e.astype(np.int64), pa.int64()))
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         imgs = [_decode(blobs[i], fmts[i]) for i in range(n)]
@@ -369,8 +423,40 @@ class EmbedImageSums:
     def __init__(self, grid: int = 4):
         self.grid = grid
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_raw", None)
+        return d
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.grid
+        px, self._raw = decode_batch_uniform(batch, getattr(self, "_raw", None))
+        if px is not None:
+            n = batch.num_rows
+            h, w = px.shape[1:3]
+            s = np.empty((n, g, g, 3), dtype=np.int64)
+            for yi in range(g):  # g*g batched cell sums, not n loops
+                ys = slice(yi * h // g, max(yi * h // g + 1, (yi + 1) * h // g))
+                for xi in range(g):
+                    xs = slice(xi * w // g,
+                               max(xi * w // g + 1, (xi + 1) * w // g))
+                    s[:, yi, xi] = px[:, ys, xs].sum(
+                        axis=(1, 2), dtype=np.int64)
+            id_np = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+            ids = np.repeat(id_np, g * g)
+            gys = np.tile(np.repeat(np.arange(g, dtype=np.int64), g), n)
+            gxs = np.tile(np.arange(g, dtype=np.int64), g * n)
+            s = s.reshape(-1, 3)
+            return pa.table(
+                {
+                    "image_id": pa.array(ids, pa.string()),
+                    "grid_y": pa.array(gys, pa.int64()),
+                    "grid_x": pa.array(gxs, pa.int64()),
+                    "sum_r": pa.array(s[:, 0], pa.int64()),
+                    "sum_g": pa.array(s[:, 1], pa.int64()),
+                    "sum_b": pa.array(s[:, 2], pa.int64()),
+                }
+            )
         ids, gys, gxs, sums = [], [], [], []
         for iid, blob, fmt in zip(batch["image_id"].to_pylist(),
                                   batch["bytes"].to_pylist(),
@@ -408,9 +494,34 @@ class EmbedImage:
     def __init__(self, grid: int = 4):
         self.grid = grid
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_raw", None)
+        return d
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = []
         g = self.grid
+        px, self._raw = decode_batch_uniform(batch, getattr(self, "_raw", None))
+        if px is not None:
+            n = batch.num_rows
+            h, w = px.shape[1:3]
+            pooled = np.empty((n, g, g, 3), np.float32)
+            for yi in range(g):  # g*g batched cell means, not n loops
+                ys = slice(yi * h // g, max(yi * h // g + 1, (yi + 1) * h // g))
+                for xi in range(g):
+                    xs = slice(xi * w // g,
+                               max(xi * w // g + 1, (xi + 1) * w // g))
+                    pooled[:, yi, xi] = (
+                        px[:, ys, xs].astype(np.float32).mean(axis=(1, 2))
+                    )
+            vecs = (pooled.reshape(n, -1) / 255.0)
+            return batch.append_column(
+                "embedding",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), pa.float32()), g * g * 3
+                ).cast(pa.list_(pa.float32())),
+            )
+        vecs = []
         for b, f in zip(batch["bytes"], batch["fmt"]):
             img = _decode(b.as_py(), f.as_py()).astype(np.float32)
             h, w = img.shape[:2]

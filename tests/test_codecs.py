@@ -245,3 +245,37 @@ class TestBatchedDecode:
             im_mod.decode_batch_uniform = orig
         np.testing.assert_array_equal(fast, slow)
         np.testing.assert_array_equal(fast2, slow2)
+
+    def test_all_batched_stages_equal_fallback(self):
+        """Every stage that takes the batched-decode path must be
+        bitwise-identical to its per-image fallback on both an 8x8
+        mixed-fmt corpus and a non-8x8 mixed-fmt corpus."""
+        import pyarrow as pa
+
+        import go_osm_search_ray.stages.images as im
+        from go_osm_search_ray import synth
+
+        t8 = synth.images_batch(np.arange(200))
+        t12 = self._table(
+            [(12, 9, "png" if i % 2 else "jpeg") for i in range(40)])
+
+        def force_fallback(stage, batch):
+            orig = im.decode_batch_uniform
+            im.decode_batch_uniform = lambda b, r: (None, r)
+            try:
+                return stage(batch)
+            finally:
+                im.decode_batch_uniform = orig
+
+        for cls in (im.AverageHash, im.AverageHashInt, im.EdgeEnergy,
+                    im.DecodeStats, im.DecodeSums, im.EmbedImageSums,
+                    im.EmbedImage):
+            for t in (t8, t12):
+                fast = cls()(t)
+                slow = force_fallback(cls(), t)
+                assert fast.schema == slow.schema, cls.__name__
+                for c in fast.column_names:
+                    if c == "bytes":
+                        continue
+                    assert fast[c].to_pylist() == slow[c].to_pylist(), (
+                        cls.__name__, c)
