@@ -380,9 +380,108 @@ def main_flagship_only() -> dict:
     return out
 
 
+def _ceiling_worker(batches, rounds, barrier, q):
+    """One OS process of the no-Ray ceiling measurement: the flagship's
+    exact fused per-batch kernel (batched decode -> ahash -> slim ->
+    derive -> PIP probe) looped over in-memory batches."""
+    import pyarrow as pa
+
+    from go_osm_search_ray import geo, synth
+    from go_osm_search_ray.pipelines import flagship
+    from go_osm_search_ray.stages import tiling
+    from go_osm_search_ray.stages.images import AverageHash
+    from go_osm_search_ray.stages.pip import CompiledPolygons
+
+    ah = AverageHash()
+    compiled = CompiledPolygons(synth.polygons_table(64, seed=42),
+                                tile_res=geo.DEFAULT_TILE_RES)
+    assign = tiling.assign_tiles(geo.DEFAULT_TILE_RES)
+    drop = ["bytes", "w", "h", "fmt"]
+
+    def kernel(b: pa.Table) -> int:
+        b = ah(b)
+        b = b.drop_columns([c for c in drop if c in b.column_names])
+        b = tiling.derive_phash_latlon(b)
+        b = assign(b)
+        part = geo.tile_parent(b["tile_id"].to_numpy(), geo.DEFAULT_TILE_RES,
+                               flagship.PARTITION_RES)
+        b = b.append_column("part", pa.array(part, pa.int64()))
+        pid = compiled.first_hit(b["lat"].to_numpy(), b["lon"].to_numpy(),
+                                 b["tile_id"].to_numpy())
+        return b.num_rows + int(pid[0] >= -2)  # consume, defeat DCE
+
+    for b in batches[:2]:
+        kernel(b)  # warm per-process caches, untimed
+    barrier.wait()
+    t0 = time.perf_counter()
+    rows = 0
+    for _ in range(rounds):
+        for b in batches:
+            rows += kernel(b)
+    q.put((rows, time.perf_counter() - t0))
+
+
+def main_ceiling() -> dict:
+    """Hardware-ceiling measurement for the scaling rule, NO Ray and
+    NO IO: run the flagship's fused per-batch kernel on the SAME
+    in-memory batches in 8 and then 32 concurrent OS processes (fork —
+    the batches are shared copy-on-write, nothing is pickled).  The
+    work per process is identical at both widths, so
+
+        ceiling_efficiency = (rows/s at 32) / (rows/s at 8) / 4
+
+    is this window's pure hardware scaling limit for this computation
+    (shared memory bus / allocator), independent of Ray, task packing,
+    the object store, and the parquet read.  A Ray `--scaling` pair at
+    or near this number means the engine extracts everything the host
+    physically gives; the rule's true N-vs-4N-node target multiplies
+    the memory bus by 4x along with the cores."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    ensure_image_cache()
+    f = sorted(
+        p for p in os.listdir(IMAGE_CACHE) if p.endswith(".parquet"))[0]
+    tb = pq.read_table(os.path.join(IMAGE_CACHE, f))
+    bs = 4096
+    batches = [tb.slice(i * bs, bs) for i in range(16)]
+    rows_per_round = sum(b.num_rows for b in batches)
+    rounds = int(os.environ.get("GRAFT_CEIL_ROUNDS", "6"))
+    out = {"metric": "flagship kernel hardware ceiling (no Ray, no IO)",
+           "rows_per_round_per_proc": rows_per_round, "rounds": rounds,
+           "loadavg_start": _loadavg()}
+    rps = {}
+    ctx = mp.get_context("fork")
+    for w in (8, 32):
+        barrier = ctx.Barrier(w)
+        q = ctx.Queue()
+        procs = [ctx.Process(target=_ceiling_worker,
+                             args=(batches, rounds, barrier, q))
+                 for _ in range(w)]
+        for p in procs:
+            p.start()
+        res = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        total_rows = sum(r for r, _ in res)
+        wall = max(t for _, t in res)
+        rps[w] = total_rows / wall
+        out[f"rows_per_sec_{w}"] = round(rps[w], 1)
+        out[f"wall_{w}"] = round(wall, 3)
+        out[f"per_proc_wall_spread_{w}"] = [
+            round(min(t for _, t in res), 3),
+            round(max(t for _, t in res), 3)]
+    out["ceiling_efficiency"] = round(rps[32] / rps[8] / 4, 3)
+    out["loadavg_end"] = _loadavg()
+    return out
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    if "--scaling" in sys.argv:
+    if "--ceiling" in sys.argv:
+        print(json.dumps(main_ceiling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
     elif os.environ.get("GRAFT_BENCH_MODE") == "flagship_only":
         print(json.dumps(main_flagship_only()))

@@ -23,6 +23,59 @@ PARTITION_RES = 2  # 4x4 = 16 output partitions (coarse parent of tile_id);
 # resume granularity stays per-partition either way
 
 
+class FusedTileJoin:
+    """The flagship's four per-batch stages (ahash -> slim -> derive ->
+    PIP probe) composed into ONE map_batches callable: a single Arrow
+    batch flows through all four kernels with no inter-operator
+    re-batching, no extra block builds, and no object-store hop between
+    stages.  Measured vs the staged plan at N=16M/32 CPUs the staged
+    fused-operator chain cost 12.5 us/row against the bare kernel's
+    7.5 — the difference was exactly these seams.
+
+    Stateful bits (decode buffers, compiled polygons) live per worker
+    process: AverageHash's reused buffers ride the callable, and the
+    polygon set is a broadcast ray.put ref compiled once per process
+    via the pip module's compile cache."""
+
+    def __init__(self, poly_ref, res: int, include_ahash: bool,
+                 carry_payload: bool, attach_meta: bool):
+        self.poly_ref = poly_ref
+        self.res = res
+        self.include_ahash = include_ahash
+        self.carry_payload = carry_payload
+        self.attach_meta = attach_meta
+        if include_ahash:
+            from ..stages.images import AverageHash
+
+            self._ah = AverageHash()
+        else:
+            self._ah = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.pip import _compiled_from_ref
+
+        b = batch
+        if self._ah is not None:
+            b = self._ah(b)
+        if not self.carry_payload:
+            b = b.drop_columns(
+                [c for c in ("bytes", "w", "h", "fmt")
+                 if c in b.column_names])
+        b = tiling.derive_phash_latlon(b)
+        b = tiling.assign_tiles(self.res)(b)
+        part = geo.tile_parent(b["tile_id"].to_numpy(), self.res,
+                               PARTITION_RES)
+        b = b.append_column("part", pa.array(part, pa.int64()))
+        compiled = _compiled_from_ref(self.poly_ref, self.res)
+        pid = compiled.first_hit(b["lat"].to_numpy(), b["lon"].to_numpy(),
+                                 b["tile_id"].to_numpy())
+        b = b.append_column("polygon_id", pa.array(pid, pa.int64()))
+        if self.attach_meta:
+            for c, col in compiled.meta_columns(pid):
+                b = b.append_column(c, col)
+        return b
+
+
 def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES,
                   concurrency=None, include_ahash: bool = False,
                   carry_payload: bool = True, attach_meta: bool = True,
@@ -48,6 +101,18 @@ def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES
         from ..stages.images import with_payload_invariant
 
         return with_payload_invariant(fn)
+
+    if not check_invariants:
+        # single fused per-batch stage (see FusedTileJoin); the staged
+        # plan below is kept for validation mode, which wraps EVERY
+        # payload-carrying stage with the per-row invariant checker
+        import ray
+
+        fused = FusedTileJoin(ray.put(polygons), res, include_ahash,
+                              carry_payload, attach_meta)
+        kw = {} if concurrency is None else {"concurrency": concurrency}
+        return images_ds.map_batches(fused, batch_format="pyarrow",
+                                     batch_size=4096, **kw)
 
     ds = images_ds
     if include_ahash:

@@ -90,9 +90,40 @@ class CompiledPolygons:
         return best
 
     def hit_index(self, polygon_id: np.ndarray) -> np.ndarray:
-        """Row index in the compiled table for each polygon_id (-1 kept)."""
-        lookup = {int(p): i for i, p in enumerate(self.polygon_ids)}
-        return np.array([lookup.get(int(p), -1) for p in polygon_id], dtype=np.int64)
+        """Row index in the compiled table for each polygon_id (-1 kept).
+        Vectorized searchsorted over the (bounded) polygon-id set — no
+        per-row dict lookups in the probe hot path."""
+        order = getattr(self, "_id_order", None)
+        if order is None:
+            order = self._id_order = np.argsort(
+                self.polygon_ids, kind="stable")
+            self._id_sorted = self.polygon_ids[order]
+        pid = np.asarray(polygon_id, dtype=np.int64)
+        pos = np.searchsorted(self._id_sorted, pid)
+        pos_c = np.minimum(pos, len(self._id_sorted) - 1)
+        found = self._id_sorted[pos_c] == pid
+        return np.where(found, order[pos_c], np.int64(-1)).astype(np.int64)
+
+    def meta_columns(self, pid: np.ndarray) -> list:
+        """Vectorized region-meta lookup: [(name, pa.Array)] for each
+        meta column, null where pid has no hit — replaces the per-row
+        list comprehensions every probe caller used to run."""
+        import pyarrow.compute as pc
+
+        if not self.meta_cols:
+            return []
+        arrs = getattr(self, "_meta_arrays", None)
+        if arrs is None:
+            arrs = self._meta_arrays = {
+                c: pa.array(self.meta[c], pa.string())
+                for c in self.meta_cols
+            }
+        hi = self.hit_index(pid)
+        valid = pa.array(hi >= 0)
+        idx = pa.array(np.where(hi >= 0, hi, 0), pa.int64())
+        null = pa.scalar(None, pa.string())
+        return [(c, pc.if_else(valid, arrs[c].take(idx), null))
+                for c in self.meta_cols]
 
 
 class PIPJoiner:
@@ -126,12 +157,9 @@ class PIPJoiner:
         )
         pid = self.compiled.first_hit(lat, lon, tiles)
         batch = batch.append_column("polygon_id", pa.array(pid, pa.int64()))
-        if self.attach_meta and self.compiled.meta_cols:
-            hi = self.compiled.hit_index(pid)
-            for c in self.compiled.meta_cols:
-                vals = self.compiled.meta[c]
-                col = [vals[i] if i >= 0 else None for i in hi]
-                batch = batch.append_column(c, pa.array(col, pa.string()))
+        if self.attach_meta:
+            for c, col in self.compiled.meta_columns(pid):
+                batch = batch.append_column(c, col)
         return batch
 
 
@@ -183,12 +211,9 @@ def pip_join(ds, polygons: pa.Table, tile_res: int | None = None,
             )
             pid = compiled.first_hit(lat, lon, tiles)
             batch = batch.append_column("polygon_id", pa.array(pid, pa.int64()))
-            if attach_meta and compiled.meta_cols:
-                hi = compiled.hit_index(pid)
-                for c in compiled.meta_cols:
-                    vals = compiled.meta[c]
-                    col = [vals[i] if i >= 0 else None for i in hi]
-                    batch = batch.append_column(c, pa.array(col, pa.string()))
+            if attach_meta:
+                for c, col in compiled.meta_columns(pid):
+                    batch = batch.append_column(c, col)
             return batch
 
         return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
