@@ -60,9 +60,12 @@ def _wait_quiet(threshold: float | None = None, max_wait: float | None = None) -
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 FLAGSHIP_N = int(os.environ.get("GRAFT_FLAGSHIP_N", "4000000"))
 IMAGE_CACHE = f"/tmp/graft_images_n{FLAGSHIP_N}_seed42"
-# 8 MiB measured better than 16 at both 8 and 32 CPUs (more, smoother
-# task waves on the fused map+write chain; see BASELINE.md round-2 notes)
-BLOCK_MB = int(os.environ.get("GRAFT_BLOCK_MB", "8"))
+# 32 MiB (round-5): with the whole flagship fused into ONE map stage
+# the per-block fixed costs (dispatch, plasma put/get, block build)
+# dominate small blocks — 8.7 s -> 6.5 s no-IO wall at 16M/32 CPUs
+# moving 8 -> 128 MiB, with 32 MiB equal within noise and a safer
+# heap/backpressure point for multi-node (see BASELINE.md round-5)
+BLOCK_MB = int(os.environ.get("GRAFT_BLOCK_MB", "32"))
 
 BENCH_QUERIES = [
     "tile_assign", "tile_histogram", "pip_join", "knn_join",
