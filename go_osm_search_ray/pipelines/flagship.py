@@ -145,9 +145,18 @@ def run_flagship(images_ds, polygons: pa.Table, out_dir: str,
     joined = tile_and_join(images_ds, polygons, res=res, concurrency=concurrency,
                            include_ahash=include_ahash,
                            carry_payload=carry_payload)
-    return manifest.write_partitioned(joined, out_dir, "part",
-                                      input_files=input_files,
-                                      collect_stats=collect_stats)
+    # dictionary-encode ONLY the bounded-cardinality region-meta
+    # columns: parquet's default dict-encode of the unique-per-row
+    # strings (image_id, caption) builds a useless hash table per file
+    # per column — measured 0.86 -> 1.47 M rows/s single-file encode
+    meta_dict_cols = [c for c in ("province", "district", "sub_district",
+                                  "village", "postal_code")
+                      if c in (polygons.column_names or [])]
+    return manifest.write_partitioned(
+        joined, out_dir, "part", input_files=input_files,
+        collect_stats=collect_stats,
+        arrow_parquet_args={"use_dictionary": meta_dict_cols}
+        if meta_dict_cols else None)
 
 
 def resume_flagship(images_ds, polygons: pa.Table, out_dir: str,

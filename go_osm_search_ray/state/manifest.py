@@ -22,7 +22,8 @@ import time
 
 def write_partitioned(ds, out_dir: str, partition_col: str,
                       input_files: list[str] | None = None,
-                      collect_stats: str = "full") -> dict:
+                      collect_stats: str = "full",
+                      arrow_parquet_args: dict | None = None) -> dict:
     """write_parquet(partition_cols=[col]) + manifest.  Returns manifest.
 
     collect_stats="full": per-partition row counts from parquet footers
@@ -33,7 +34,8 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     """
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
-    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    ds.write_parquet(out_dir, partition_cols=[partition_col],
+                     **(arrow_parquet_args or {}))
     wall_ms = (time.perf_counter() - t0) * 1000.0
 
     # per-file footer reads are IO-bound and there can be
