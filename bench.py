@@ -94,17 +94,22 @@ BENCH_QUERIES = [
 ]
 
 
+CACHE_LAYOUT = "v2-rg125k"  # 125k-row groups: the fused-ingest work unit
+
+
 def ensure_image_cache():
     """Deterministic synthetic image table -> cached Parquet (untimed)."""
-    if os.path.exists(os.path.join(IMAGE_CACHE, "_SUCCESS")):
+    marker = os.path.join(IMAGE_CACHE, "_SUCCESS")
+    if os.path.exists(marker) and open(marker).read().strip() == CACHE_LAYOUT:
         return
     from go_osm_search_ray import synth
 
     shutil.rmtree(IMAGE_CACHE, ignore_errors=True)
     ds = synth.images_dataset(FLAGSHIP_N, seed=42, parallelism=64)
-    ds.write_parquet(IMAGE_CACHE, min_rows_per_file=FLAGSHIP_N // 64)
+    ds.write_parquet(IMAGE_CACHE, min_rows_per_file=FLAGSHIP_N // 64,
+                     row_group_size=125_000)
     with open(os.path.join(IMAGE_CACHE, "_SUCCESS"), "w") as fh:
-        fh.write("ok")
+        fh.write(CACHE_LAYOUT)
 
 
 def warm_workers():
@@ -143,9 +148,26 @@ def run_flagship(out_dir: str, write: bool = True) -> tuple[float, int]:
 
     polygons = synth.polygons_table(64, seed=42)
     shutil.rmtree(out_dir, ignore_errors=True)
+    # fused ingest (default): the parquet read happens inside the same
+    # task as decode+tile+PIP, so the image payload never crosses the
+    # object store — see flagship.FusedIngestTileJoin.  Set
+    # GRAFT_FUSED_INGEST=0 to measure the separate-read plan.
+    fused_ingest = os.environ.get("GRAFT_FUSED_INGEST", "1") == "1"
     images = rd.read_parquet(IMAGE_CACHE)
     t0 = time.perf_counter()
-    if write:
+    if write and fused_ingest:
+        from go_osm_search_ray.state import manifest as mstate
+
+        joined = flagship.fused_ingest_tile_join(
+            IMAGE_CACHE, polygons, include_ahash=True, carry_payload=False)
+        meta_dict = ["province", "district", "sub_district", "village",
+                     "postal_code"]
+        manifest = mstate.write_partitioned(
+            joined, out_dir, "part", input_files=[IMAGE_CACHE],
+            collect_stats="light",
+            arrow_parquet_args={"use_dictionary": meta_dict})
+        assert len(manifest["partitions"]) > 0
+    elif write:
         manifest = flagship.run_flagship(
             images, polygons, out_dir, input_files=[IMAGE_CACHE],
             include_ahash=True, carry_payload=False, collect_stats="light",

@@ -76,6 +76,66 @@ class FusedTileJoin:
         return b
 
 
+class FusedIngestTileJoin(FusedTileJoin):
+    """FusedTileJoin with the PARQUET READ pulled into the same task:
+    the input dataset carries (path, row_group) specs, and each task
+    reads its row group and runs the fused kernel on 4096-row slices.
+
+    Why: Ray Data 2.49 does not fuse ReadParquet with a downstream
+    MapBatches, so the full image payload crosses the object store
+    once (write + read = 2x the table bytes of /dev/shm memcpy).  On
+    one 32-worker host that hop runs at ~1.5 GB/s aggregate — the
+    measured allocation-bandwidth ceiling — while the 8-worker run
+    never approaches it; at 10^12-row scale the same hop is pure
+    overhead on every node.  Reading inside the consuming task moves
+    only the slim join output (no payload) through plasma.  The
+    trade: ingest granularity is the parquet row group (the cache
+    writes 125k-row groups), not Ray's dynamic block splitting."""
+
+    def __call__(self, spec_batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for spec in spec_batch.to_pylist():
+            t = pq.ParquetFile(spec["path"]).read_row_group(spec["rg"])
+            for lo in range(0, t.num_rows, 4096):
+                outs.append(
+                    FusedTileJoin.__call__(self, t.slice(lo, 4096)))
+        return pa.concat_tables(outs)
+
+
+def ingest_specs(cache_dir: str) -> list[dict]:
+    """(path, row_group) work list for FusedIngestTileJoin."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    specs = []
+    for f in sorted(_glob.glob(f"{cache_dir}/*.parquet")):
+        for rg in range(pq.ParquetFile(f).num_row_groups):
+            specs.append({"path": f, "rg": rg})
+    return specs
+
+
+def fused_ingest_tile_join(cache_dir: str, polygons: pa.Table,
+                           res: int = geo.DEFAULT_TILE_RES,
+                           include_ahash: bool = True,
+                           carry_payload: bool = False,
+                           attach_meta: bool = True):
+    """read+kernel fused flagship over a parquet directory: a Dataset
+    of row-group specs -> one task per row group doing read + decode +
+    tile + PIP, emitting only the slim joined rows into plasma."""
+    import ray.data as rd
+
+    import ray
+
+    specs = ingest_specs(cache_dir)
+    fused = FusedIngestTileJoin(ray.put(polygons), res, include_ahash,
+                                carry_payload, attach_meta)
+    return rd.from_items(specs, override_num_blocks=len(specs)).map_batches(
+        fused, batch_format="pyarrow", batch_size=1)
+
+
 def tile_and_join(images_ds, polygons: pa.Table, res: int = geo.DEFAULT_TILE_RES,
                   concurrency=None, include_ahash: bool = False,
                   carry_payload: bool = True, attach_meta: bool = True,

@@ -376,3 +376,35 @@ def test_compact_partitions_preserves_rows(ray_session):
     # resume still sees every partition as complete
     assert M.remaining_partitions(
         [int(k) for k in m1["partitions"]], out) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fused_ingest_equals_dataset_plan(tmp_path):
+    """flagship.fused_ingest_tile_join (read inside the kernel task)
+    must produce exactly the rows of the read_parquet -> tile_and_join
+    plan, across multiple files and row groups."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from go_osm_search_ray import synth
+    from go_osm_search_ray.pipelines import flagship
+
+    cache = str(tmp_path / "imgcache")
+    ds = synth.images_dataset(8000, seed=7, parallelism=4)
+    ds.write_parquet(cache, min_rows_per_file=4000, row_group_size=1000)
+    polygons = synth.polygons_table(16, seed=42)
+
+    a = flagship.fused_ingest_tile_join(
+        cache, polygons, include_ahash=True, carry_payload=False
+    ).to_pandas()
+    b = flagship.tile_and_join(
+        rd.read_parquet(cache), polygons, include_ahash=True,
+        carry_payload=False,
+    ).to_pandas()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True))
+    assert len(flagship.ingest_specs(cache)) >= 8  # multi-file, multi-rg
