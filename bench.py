@@ -138,6 +138,23 @@ def warm_workers():
     flagship.tile_and_join(
         rd.read_parquet(IMAGE_CACHE).limit(10000), polygons, include_ahash=True
     ).count()
+    # warm the exact timed path too (fused ingest + partitioned write +
+    # manifest) on two row groups so the parquet writer / manifest code
+    # is imported in every worker before the timed section
+    from go_osm_search_ray.state import manifest as mstate
+
+    import ray
+
+    from go_osm_search_ray import geo
+
+    specs = flagship.ingest_specs(IMAGE_CACHE)[:2]
+    fused = flagship.FusedIngestTileJoin(
+        ray.put(polygons), geo.DEFAULT_TILE_RES, True, False, True)
+    warm = rd.from_items(specs, override_num_blocks=len(specs)).map_batches(
+        fused, batch_format="pyarrow", batch_size=1)
+    mstate.write_partitioned(warm, "/tmp/graft_warm_out", "part",
+                             collect_stats="light")
+    shutil.rmtree("/tmp/graft_warm_out", ignore_errors=True)
 
 
 def run_flagship(out_dir: str, write: bool = True) -> tuple[float, int]:
