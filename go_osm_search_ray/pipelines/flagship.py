@@ -282,7 +282,10 @@ def resume_flagship(images_ds, polygons: pa.Table, out_dir: str,
 
 
 def run_flagship_synth(n_images: int, out_dir: str, seed: int = 42,
-                       concurrency=4) -> dict:
+                       concurrency=None) -> dict:
+    # concurrency=None: elastic task pool.  (The old default of 4 only
+    # throttled the PIP stage; now that the whole pipeline is ONE fused
+    # stage a cap here would throttle everything.)
     images = synth.images_dataset(n_images, seed=seed)
     polygons = synth.polygons_table(64, seed=seed)
     return run_flagship(images, polygons, out_dir, concurrency=concurrency,
