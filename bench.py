@@ -365,6 +365,16 @@ def main_scaling() -> dict:
         "flagship_rows": r_hi["flagship_rows"],
         "num_cpus": hi,
     }
+    # same-window hardware ceiling (no Ray): lets the pair efficiency
+    # be read against what this window physically allowed
+    try:
+        scaling_cache = f"/tmp/graft_images_n{SCALING_N}_seed42"
+        out.update(measure_io_ceiling(scaling_cache))
+        if out.get("ceiling_efficiency_io"):
+            out["efficiency_vs_window_ceiling"] = round(
+                eff / out["ceiling_efficiency_io"], 3)
+    except Exception as e:  # ceiling is evidence, not the measurement
+        out["ceiling_error"] = str(e)[:200]
     if "--noio" in sys.argv:
         n_lo = run_child(lo, nowrite=True)
         n_hi = run_child(hi, nowrite=True)
@@ -420,6 +430,50 @@ def main_flagship_only() -> dict:
     if cpu_totals:
         out["cpu_total_sec"] = min(cpu_totals)
     return out
+
+
+def _ceiling_io_worker(specs, barrier, q):
+    """One OS process of the read+kernel ceiling phase: reads its own
+    parquet row groups (page-cache warm) and runs the fused kernel —
+    the flagship's per-task work with NO Ray runtime at all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_osm_search_ray import geo, synth
+    from go_osm_search_ray.pipelines import flagship
+    from go_osm_search_ray.stages import tiling
+    from go_osm_search_ray.stages.images import AverageHash
+    from go_osm_search_ray.stages.pip import CompiledPolygons
+
+    ah = AverageHash()
+    compiled = CompiledPolygons(synth.polygons_table(64, seed=42),
+                                tile_res=geo.DEFAULT_TILE_RES)
+    assign = tiling.assign_tiles(geo.DEFAULT_TILE_RES)
+    drop = ["bytes", "w", "h", "fmt"]
+
+    def kernel(b: pa.Table) -> int:
+        b = ah(b)
+        b = b.drop_columns([c for c in drop if c in b.column_names])
+        b = tiling.derive_phash_latlon(b)
+        b = assign(b)
+        part = geo.tile_parent(b["tile_id"].to_numpy(), geo.DEFAULT_TILE_RES,
+                               flagship.PARTITION_RES)
+        b = b.append_column("part", pa.array(part, pa.int64()))
+        pid = compiled.first_hit(b["lat"].to_numpy(), b["lon"].to_numpy(),
+                                 b["tile_id"].to_numpy())
+        return b.num_rows + int(pid[0] >= -2)
+
+    # warm code paths on a slice, untimed
+    t0 = pq.ParquetFile(specs[0]["path"]).read_row_group(specs[0]["rg"])
+    kernel(t0.slice(0, 4096))
+    barrier.wait()
+    t0 = time.perf_counter()
+    rows = 0
+    for spec in specs:
+        t = pq.ParquetFile(spec["path"]).read_row_group(spec["rg"])
+        for lo in range(0, t.num_rows, 4096):
+            rows += kernel(t.slice(lo, 4096))
+    q.put((rows, time.perf_counter() - t0))
 
 
 def _ceiling_worker(batches, rounds, barrier, q):
@@ -515,7 +569,52 @@ def main_ceiling() -> dict:
             round(min(t for _, t in res), 3),
             round(max(t for _, t in res), 3)]
     out["ceiling_efficiency"] = round(rps[32] / rps[8] / 4, 3)
+    out.update(measure_io_ceiling())
     out["loadavg_end"] = _loadavg()
+    return out
+
+
+def measure_io_ceiling(cache_dir: str | None = None) -> dict:
+    """read+kernel window ceiling: each forked process reads ITS OWN
+    parquet row groups (page-cache warm) and runs the identical fused
+    kernel — the flagship task's full work with no Ray runtime.  Same
+    per-process work at 8 and 32 wide; the ratio is the window's
+    physical scaling limit for this job (shared bus + page cache +
+    allocator), independent of Ray.  Run it in the SAME window as a
+    --scaling pair and the pair's efficiency can be read against the
+    hardware's: measured/ceiling ~ 1.0 means the engine extracts
+    everything the host gives.  (~15 s; quiet windows measured
+    0.72-0.76 ceilings on this host, loaded-decay windows up to 0.93.)
+    """
+    import multiprocessing as mp
+
+    from go_osm_search_ray.pipelines import flagship as _fl
+
+    all_specs = _fl.ingest_specs(cache_dir or IMAGE_CACHE)
+    per_proc = int(os.environ.get("GRAFT_CEIL_IO_RGS", "3"))
+    ctx = mp.get_context("fork")
+    out = {}
+    rps_io = {}
+    for w in (8, 32):
+        need = w * per_proc
+        specs = [all_specs[i % len(all_specs)] for i in range(need)]
+        barrier = ctx.Barrier(w)
+        q = ctx.Queue()
+        procs = [ctx.Process(target=_ceiling_io_worker,
+                             args=(specs[i * per_proc:(i + 1) * per_proc],
+                                   barrier, q))
+                 for i in range(w)]
+        for p in procs:
+            p.start()
+        res = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        total_rows = sum(r for r, _ in res)
+        wall = max(t for _, t in res)
+        rps_io[w] = total_rows / wall
+        out[f"io_rows_per_sec_{w}"] = round(rps_io[w], 1)
+        out[f"io_wall_{w}"] = round(wall, 3)
+    out["ceiling_efficiency_io"] = round(rps_io[32] / rps_io[8] / 4, 3)
     return out
 
 
