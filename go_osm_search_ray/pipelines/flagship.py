@@ -105,7 +105,14 @@ class FusedIngestTileJoin(FusedTileJoin):
 
 
 def ingest_specs(cache_dir: str) -> list[dict]:
-    """(path, row_group) work list for FusedIngestTileJoin."""
+    """(path, row_group) work list for FusedIngestTileJoin.
+
+    SCALE NOTE: this enumerates footers on the driver — fine for a
+    bench directory (64 files), NOT the 10^12-row path.  At catalog
+    scale the spec list comes from the table's own metadata (a Lance
+    fragment manifest / parquet _metadata summary) read as a Dataset,
+    and feeds the same FusedIngestTileJoin unchanged; the driver never
+    holds more than the streaming executor's in-flight spec blocks."""
     import glob as _glob
 
     import pyarrow.parquet as pq
