@@ -107,6 +107,8 @@ def decode_batch_uniform(
     hmm = pc.min_max(batch["h"]).as_py()
     if wmm["min"] != wmm["max"] or hmm["min"] != hmm["max"]:
         return None, raw_buf
+    if batch["fmt"].null_count:
+        return None, raw_buf
     fmts = set(pc.unique(batch["fmt"]).to_pylist())
     if not fmts <= {"png", "jpeg"}:
         return None, raw_buf
